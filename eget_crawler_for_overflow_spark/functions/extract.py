@@ -1,0 +1,395 @@
+"""HTML → markdown / metadata / structured-data / links extraction.
+
+From-scratch reimplementation of the reference's extraction semantics:
+
+* content pipeline — metadata from the *full* document, then main-content
+  swap, then element/attribute cleaning, then markdown conversion, in that
+  exact order (/root/reference/services/scraper/scraper.py:177-198);
+* main-content detection pattern order: ``main`` → ``article`` →
+  ``div[id~content|main|article]`` → ``div[class~...]`` →
+  ``div[role=main]`` → largest-text ``div``/``section``
+  (scraper.py:155-175);
+* cleaning: decompose script/style/iframe/nav/footer/noscript/meta/link,
+  whitelist attrs href/src/alt/title (scraper.py:97-120);
+* metadata: og:title → <title>; prioritized meta mappings
+  (scraper.py:122-153);
+* structured data: JSON-LD / OpenGraph / TwitterCard / other metas +
+  language fallback chain (structured_data.py:8-143);
+* links: all <a href>, urljoin+strip(fragment,params,query), same-domain,
+  exclude/include regex (Python ``re`` — Java regex is NOT semantics-
+  compatible), robots (link_extractor.py:42-126).
+
+The markdown dialect is this engine's own (html2text is unavailable here);
+it is pinned byte-exactly by pagemodel.expected_markdown and the pytest
+golden suite — that pair is the "byte-identical extracted text per url"
+contract of BASELINE.json.
+
+Everything is exposed as Arrow-vectorized pandas UDFs; no per-row Python
+ever crosses the JVM boundary row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .htmllib import REMOVE_TAGS, Node, parse_html
+
+# ---------------------------------------------------------------------------
+# markdown conversion (this engine's pinned dialect)
+# ---------------------------------------------------------------------------
+
+_BLOCK_TAGS = frozenset(
+    "h1 h2 h3 h4 h5 h6 p pre ul ol table blockquote hr div section article "
+    "main header aside figure".split()
+)
+_CONTAINER_TAGS = frozenset(
+    "[document] html body div section article main header aside figure".split()
+)
+_HEADING_LEVEL = {f"h{i}": i for i in range(1, 7)}
+_LANG_CLASS_RE = re.compile(r"language-([\w+-]+)")
+
+
+def _inline(node: Node) -> str:
+    """Render a node's content as inline markdown."""
+    if node.is_text:
+        return node.text_content
+    parts: list[str] = []
+    for c in node.children:
+        if c.is_text:
+            parts.append(c.text_content)
+            continue
+        t = c.tag
+        if t == "a":
+            parts.append(f"[{_inline(c)}]({c.get('href', '')})")
+        elif t == "code":
+            parts.append(f"`{_inline(c)}`")
+        elif t in ("strong", "b"):
+            parts.append(f"**{_inline(c)}**")
+        elif t in ("em", "i"):
+            parts.append(f"*{_inline(c)}*")
+        elif t == "img":
+            parts.append(f"![{c.get('alt', '')}]({c.get('src', '')})")
+        elif t == "br":
+            parts.append("\n")
+        else:
+            parts.append(_inline(c))
+    return "".join(parts)
+
+
+def _table_md(node: Node) -> str:
+    rows = node.find_all("tr")
+    lines: list[str] = []
+    for ri, tr in enumerate(rows):
+        cells = [c for c in tr.children if not c.is_text and c.tag in ("th", "td")]
+        texts = [_inline(c).strip() for c in cells]
+        lines.append("| " + " | ".join(texts) + " |")
+        if ri == 0 and cells and cells[0].tag == "th":
+            lines.append("|" + "---|" * len(cells))
+    return "\n".join(lines)
+
+
+def _list_md(node: Node, ordered: bool) -> str:
+    lines = []
+    idx = 0
+    for c in node.children:
+        if c.is_text or c.tag != "li":
+            continue
+        idx += 1
+        marker = f"{idx}. " if ordered else "- "
+        lines.append(marker + _inline(c).strip())
+    return "\n".join(lines)
+
+
+def _pre_md(node: Node) -> str:
+    code = node.find("code")
+    lang = ""
+    if code is not None:
+        m = _LANG_CLASS_RE.search(code.get("class", "") or "")
+        if m:
+            lang = m.group(1)
+        body = code.get_text()
+    else:
+        body = node.get_text()
+    return f"```{lang}\n{body}\n```"
+
+
+def _blocks(node: Node, out: list[str]) -> None:
+    """Walk a container's children, emitting markdown blocks; consecutive
+    inline content coalesces into one block."""
+    pending: list[str] = []
+
+    def flush() -> None:
+        if pending:
+            text = "".join(pending).strip()
+            if text:
+                out.append(text)
+            pending.clear()
+
+    for c in node.children:
+        if c.is_text or c.tag not in _BLOCK_TAGS:
+            pending.append(_inline(c))
+            continue
+        flush()
+        t = c.tag
+        if t in _HEADING_LEVEL:
+            text = _inline(c).strip()
+            out.append("#" * _HEADING_LEVEL[t] + " " + text)
+        elif t == "p":
+            text = _inline(c).strip()
+            if text:
+                out.append(text)
+        elif t == "pre":
+            out.append(_pre_md(c))
+        elif t in ("ul", "ol"):
+            md = _list_md(c, ordered=(t == "ol"))
+            if md:
+                out.append(md)
+        elif t == "table":
+            md = _table_md(c)
+            if md:
+                out.append(md)
+        elif t == "blockquote":
+            inner: list[str] = []
+            _blocks(c, inner)
+            out.append("\n".join("> " + line for b in inner for line in b.split("\n")))
+        elif t == "hr":
+            out.append("---")
+        else:  # nested container
+            _blocks(c, out)
+    flush()
+
+
+def to_markdown(node: Node) -> str:
+    out: list[str] = []
+    _blocks(node, out)
+    return "\n\n".join(out) + "\n" if out else ""
+
+
+# ---------------------------------------------------------------------------
+# main-content detection + cleaning (scraper.py:97-175)
+# ---------------------------------------------------------------------------
+
+_CONTENT_RE = re.compile(r"content|main|article", re.I)
+
+
+def find_main_content(root: Node) -> Node | None:
+    n = root.find("main")
+    if n is not None:
+        return n
+    n = root.find("article")
+    if n is not None:
+        return n
+    n = root.find("div", pred=lambda x: bool(_CONTENT_RE.search(x.get("id") or "")))
+    if n is not None:
+        return n
+    n = root.find("div", pred=lambda x: bool(_CONTENT_RE.search(x.get("class") or "")))
+    if n is not None:
+        return n
+    n = root.find("div", pred=lambda x: x.get("role") == "main")
+    if n is not None:
+        return n
+    containers = root.find_all(("div", "section"))
+    if containers:
+        return max(containers, key=lambda x: len(x.get_text()))
+    return None
+
+
+def clean_tree(node: Node) -> Node:
+    node.decompose_all(REMOVE_TAGS)
+    node.prune_attrs(("href", "src", "alt", "title"))
+    return node
+
+
+# ---------------------------------------------------------------------------
+# metadata (scraper.py:122-153)
+# ---------------------------------------------------------------------------
+
+_META_MAPPINGS = {
+    "description": ("description", "og:description"),
+    "language": ("language", "og:locale"),
+    "author": ("author", "article:author"),
+    "published_date": ("article:published_time", "publisheddate"),
+    "keywords": ("keywords",),
+    "image": ("og:image",),
+}
+
+
+def extract_metadata(root: Node) -> dict[str, str]:
+    metadata: dict[str, str] = {}
+    og_title = root.find("meta", pred=lambda x: x.get("property") == "og:title")
+    if og_title is not None:
+        metadata["title"] = og_title.get("content", "") or ""
+    else:
+        title = root.find("title")
+        if title is not None:
+            metadata["title"] = title.get_text()
+    for meta in root.find_all("meta"):
+        name = meta.get("name") or meta.get("property")
+        content = meta.get("content")
+        if name and content:
+            low = name.lower()
+            for key, possible in _META_MAPPINGS.items():
+                if low in possible:
+                    metadata[key] = content.strip()
+    return metadata
+
+
+# ---------------------------------------------------------------------------
+# structured data (structured_data.py:8-143)
+# ---------------------------------------------------------------------------
+
+
+def extract_language(root: Node) -> str:
+    html_tag = root.find("html")
+    if html_tag is not None and html_tag.get("lang"):
+        return html_tag.get("lang").split("-")[0]
+    for pred in (
+        lambda x: x.get("http-equiv") == "content-language",
+        lambda x: x.get("name") == "language",
+        lambda x: x.get("property") == "og:locale",
+    ):
+        meta = root.find("meta", pred=pred)
+        if meta is not None and meta.get("content"):
+            lang = meta.get("content").split("_")[0]
+            if lang:
+                return lang
+    return ""
+
+
+def extract_structured(root: Node) -> dict:
+    json_ld: list[str] = []
+    for script in root.find_all(
+        "script", pred=lambda x: x.get("type") == "application/ld+json"
+    ):
+        try:
+            data = json.loads(script.get_text())
+        except (json.JSONDecodeError, TypeError):
+            continue  # invalid JSON-LD skipped (structured_data.py:49-50)
+        json_ld.append(json.dumps(data, sort_keys=True, separators=(",", ":")))
+
+    og: dict[str, str] = {}
+    twitter: dict[str, str] = {}
+    meta_data: dict[str, str] = {}
+    for meta in root.find_all("meta"):
+        prop = meta.get("property") or ""
+        name_attr = meta.get("name") or ""
+        content = meta.get("content")
+        if content is None:
+            continue
+        if prop.startswith("og:"):
+            key = prop[3:]
+            if key:
+                og[key] = content
+        if name_attr.startswith("twitter:"):
+            key = name_attr[8:]
+            if key:
+                twitter[key] = content
+        name = name_attr or prop
+        if name and not name.startswith(("og:", "twitter:")):
+            meta_data[name] = content
+    meta_data["language"] = extract_language(root) or ""
+    return {
+        "jsonLd": json_ld,
+        "openGraph": og,
+        "twitterCard": twitter,
+        "metaData": meta_data,
+    }
+
+
+# ---------------------------------------------------------------------------
+# full-page extraction bundle
+# ---------------------------------------------------------------------------
+
+
+def extract_page(html: str, only_main: bool = True) -> dict:
+    """Reference ``ContentExtractor.extract_content`` +
+    ``StructuredDataExtractor.extract_all`` in one parse-shared pass."""
+    root = parse_html(html)
+    metadata = extract_metadata(root)  # full soup, BEFORE main swap
+    structured = extract_structured(root)
+    content: Node = root
+    if only_main:
+        main = find_main_content(root)
+        if main is not None:
+            content = main
+    clean_tree(content)
+    markdown = to_markdown(content)
+    return {
+        "markdown": markdown,
+        "title": metadata.get("title", ""),
+        "description": metadata.get("description", ""),
+        "language": structured["metaData"]["language"],
+        "open_graph": structured["openGraph"],
+        "twitter_card": structured["twitterCard"],
+        "meta_data": structured["metaData"],
+        "json_ld": structured["jsonLd"],
+    }
+
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("markdown", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("open_graph", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("twitter_card", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("meta_data", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("json_ld", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _decode(h) -> str:
+    if h is None:
+        return ""
+    if isinstance(h, (bytes, bytearray, memoryview)):
+        return bytes(h).decode("utf-8", errors="replace")
+    return str(h)
+
+
+@F.pandas_udf(EXTRACTED_SCHEMA)
+def extract_page_udf(html: pd.Series) -> pd.DataFrame:
+    """Arrow-vectorized full extraction bundle: html binary → struct."""
+    rows = [extract_page(_decode(h)) for h in html]
+    return pd.DataFrame(
+        {
+            "markdown": [r["markdown"] for r in rows],
+            "title": [r["title"] for r in rows],
+            "description": [r["description"] for r in rows],
+            "language": [r["language"] for r in rows],
+            "open_graph": [r["open_graph"] for r in rows],
+            "twitter_card": [r["twitter_card"] for r in rows],
+            "meta_data": [r["meta_data"] for r in rows],
+            "json_ld": [r["json_ld"] for r in rows],
+        }
+    )
+
+
+@F.pandas_udf(T.StringType())
+def markdown_udf(html: pd.Series) -> pd.Series:
+    """Markdown-only extraction (cheaper projection when the caller prunes
+    the other columns — UDFs are split so Catalyst can drop unused ones,
+    SURVEY.md §4.1)."""
+    return pd.Series([extract_page(_decode(h))["markdown"] for h in html])
+
+
+@F.pandas_udf(T.StringType())
+def language_udf(html: pd.Series) -> pd.Series:
+    out = []
+    for h in html:
+        out.append(extract_language(parse_html(_decode(h))) or "")
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def title_udf(html: pd.Series) -> pd.Series:
+    out = []
+    for h in html:
+        out.append(extract_metadata(parse_html(_decode(h))).get("title", ""))
+    return pd.Series(out)

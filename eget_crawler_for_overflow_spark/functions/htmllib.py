@@ -1,0 +1,201 @@
+"""Minimal from-scratch HTML DOM built on stdlib ``html.parser``.
+
+The reference uses BeautifulSoup (``'html.parser'`` backend) for every
+extraction step (e.g. /root/reference/services/scraper/scraper.py:100,
+/root/reference/services/extractors/structured_data.py:108). That library
+is not available in this container, so this module implements the small
+subset of DOM behavior those code paths need — tree building, tag/attr
+search, text extraction, subtree removal — from scratch. It is pure
+Python and only ever runs inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# elements whose subtree the reference decomposes before markdown conversion
+# (scraper.py:103-108)
+REMOVE_TAGS = frozenset(
+    "script style iframe nav footer noscript meta link comment".split()
+)
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str | None, attrs: dict[str, str] | None = None):
+        self.tag = tag  # None => text node (attrs holds {"text": ...})
+        self.attrs = attrs or {}
+        self.children: list[Node] = []
+        self.parent: Node | None = None
+
+    # -- construction -------------------------------------------------
+    def append(self, child: "Node") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    # -- predicates ----------------------------------------------------
+    @property
+    def is_text(self) -> bool:
+        return self.tag is None
+
+    @property
+    def text_content(self) -> str:
+        return self.attrs.get("text", "") if self.is_text else ""
+
+    def get(self, attr: str, default=None):
+        return self.attrs.get(attr, default)
+
+    # -- traversal -----------------------------------------------------
+    def iter(self):
+        """Pre-order traversal of element nodes (document order)."""
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            if not n.is_text:
+                yield n
+                stack.extend(reversed(n.children))
+
+    def find_all(self, names=None, pred=None) -> list["Node"]:
+        if isinstance(names, str):
+            names = (names,)
+        out = []
+        for n in self.iter():
+            if names is not None and n.tag not in names:
+                continue
+            if pred is not None and not pred(n):
+                continue
+            out.append(n)
+        return out
+
+    def find(self, names=None, pred=None) -> "Node | None":
+        if isinstance(names, str):
+            names = (names,)
+        for n in self.iter():
+            if names is not None and n.tag not in names:
+                continue
+            if pred is not None and not pred(n):
+                continue
+            return n
+        return None
+
+    def get_text(self) -> str:
+        """Concatenated text of all descendant text nodes (document order),
+        mirroring BeautifulSoup ``get_text()`` for main-content fallback
+        sizing (scraper.py:172-174)."""
+        parts: list[str] = []
+        stack = list(reversed(self.children))
+        if self.is_text:
+            return self.text_content
+        while stack:
+            n = stack.pop()
+            if n.is_text:
+                parts.append(n.text_content)
+            else:
+                stack.extend(reversed(n.children))
+        return "".join(parts)
+
+    def decompose_all(self, names: frozenset[str]) -> None:
+        """Remove every descendant element whose tag is in ``names``."""
+
+        def walk(node: "Node") -> None:
+            node.children = [
+                c for c in node.children if c.is_text or c.tag not in names
+            ]
+            for c in node.children:
+                if not c.is_text:
+                    walk(c)
+
+        walk(self)
+
+    def prune_attrs(self, allowed: tuple[str, ...] = ("href", "src", "alt", "title")) -> None:
+        """Keep only whitelisted attributes on every element
+        (scraper.py:111-116). Dialect choice: ``class`` survives on
+        ``<code>`` so fenced blocks keep their language (the chunker's
+        ``code_language`` field consumes it; the reference loses it to
+        html2text after cleaning)."""
+        for n in self.iter():
+            n.attrs = {
+                k: v
+                for k, v in n.attrs.items()
+                if k in allowed or (k == "class" and n.tag == "code")
+            }
+
+
+# tags that implicitly close an open <p> / <li> (html.parser reports the
+# source faithfully; our synthetic corpus always closes tags, but be robust)
+_P_CLOSERS = frozenset(
+    "address article aside blockquote div dl fieldset footer form h1 h2 h3 h4 h5 "
+    "h6 header hr main nav ol p pre section table ul".split()
+)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("[document]")
+        self.stack = [self.root]
+
+    # -- helpers --------------------------------------------------------
+    def _open(self, tag: str, attrs) -> Node:
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self.stack[-1].append(node)
+        return node
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "p" and self.stack[-1].tag == "p":
+            self.stack.pop()  # implicit </p>
+        if tag == "li" and self.stack[-1].tag == "li":
+            self.stack.pop()  # implicit </li>
+        if tag in _P_CLOSERS and self.stack[-1].tag == "p":
+            self.stack.pop()
+        node = self._open(tag, attrs)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self._open(tag, attrs)
+
+    def handle_endtag(self, tag):
+        for idx in range(len(self.stack) - 1, 0, -1):
+            if self.stack[idx].tag == tag:
+                del self.stack[idx:]
+                return
+        # stray end tag: ignore
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].append(Node(None, {"text": data}))
+
+
+def parse_html(html: str) -> Node:
+    """Parse an HTML string into a Node tree. Never raises: parse errors
+    degrade to a partial tree (matching the reference's try/except-and-log
+    posture, e.g. link_extractor.py:123-125)."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        pass
+    return builder.root
+
+
+def attr_matches(value: str | None, pattern: re.Pattern) -> bool:
+    return value is not None and bool(pattern.search(value))
+
+
+__all__ = [
+    "Node",
+    "parse_html",
+    "unescape",
+    "VOID_ELEMENTS",
+    "REMOVE_TAGS",
+    "attr_matches",
+]

@@ -1,0 +1,351 @@
+"""Batch URL-frontier crawl engine: the driver-side generation (BFS wave)
+loop that replaces the reference's asyncio queue loop
+(/root/reference/services/crawler/crawler_service.py:97-175).
+
+Semantics preserved (SURVEY.md §3.1):
+
+* admission predicate per URL: not-seen ∧ depth ≤ max_depth ∧ budget left
+  (queue_manager.py:47-49), first-wins on duplicates;
+* deterministic canonical order: the reference's *admission* (FIFO put)
+  order, which for wave processing is ``(generation, parent_seq,
+  link_pos)`` — the reference's result order is async-completion order and
+  nondeterministic, so the admission order is the testable contract
+  (SURVEY.md §2.6 W1);
+* "fetch" = equi-join frontier ⋈ pages on url (J3); misses are recorded
+  with status='missing' (the reference's failed scrape, crawler_service
+  .py:77-80);
+* link expansion skipped at depth == max_depth (crawler_service.py:61) —
+  saves the UDF cost, Catalyst can't do this for us;
+* robots checked before admission (J4 broadcast join + pandas UDF);
+* politeness: logical crawl-delay windows with salted per-host slots,
+  deferring overflow to later generations (politeness.py).
+
+Scale posture: every per-generation step is a DataFrame op — anti-join
+(Bloom-prefiltered, hash-sharded), TakeOrdered budget top-k, two-pass
+range-partitioned sequence assignment, salted windows. The only driver
+state is counters and the generation loop itself; per-generation tables
+are checkpointed (parquet commit protocol standing in for Iceberg
+snapshots) so a crawl resumes from the last committed generation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.extract import extract_page_udf
+from ..functions.robots import crawl_delay_udf, robots_allowed_udf
+from ..functions.urls import host_of_url, make_link_udf
+from ..sources.checkpoint import CheckpointManager
+from .ordering import assign_seq, top_k
+from .politeness import salted_fetch_schedule
+from .seen import SeenSet
+
+CAND_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("parent_seq", T.LongType()),
+        T.StructField("link_pos", T.IntegerType()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 3  # reference default (crawler_request.py:20)
+    max_pages: int | None = 100  # reference default (crawler_request.py:21)
+    same_domain: bool = True
+    exclude: tuple[str, ...] = ()
+    include: tuple[str, ...] = ()
+    respect_robots: bool = False
+    host_budget: int | None = None  # per-generation per-host admission cap
+    crawl_delay_window: float | None = None  # logical seconds per generation
+    n_salts: int = 8
+    n_shards: int = 32
+    use_bloom: bool = True
+    max_generations: int = 64
+
+
+@dataclass
+class CrawlResult:
+    admitted: DataFrame  # url, url_hash, host, depth, parent_url, enqueue_seq, generation
+    extracted: DataFrame  # + status, markdown, title, ..., links
+    metrics: DataFrame  # crawl_id, generation, name, value
+    generations: int = 0
+    stats: dict = field(default_factory=dict)
+
+
+def _empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: list[str],
+    cfg: CrawlConfig | None = None,
+    robots: DataFrame | None = None,  # (host, rules_text)
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    crawl_id: str = "crawl",
+) -> CrawlResult:
+    cfg = cfg or CrawlConfig()
+    ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    seed_host = host_of_url(seeds[0]) if cfg.same_domain else None
+    link_udf = make_link_udf(
+        base_domain=seed_host,
+        exclude=list(cfg.exclude),
+        include=list(cfg.include),
+        same_domain=cfg.same_domain,
+    )
+
+    seen = SeenSet(spark, n_shards=cfg.n_shards, use_bloom=cfg.use_bloom)
+    admitted_gens: list[DataFrame] = []
+    extracted_gens: list[DataFrame] = []
+    metrics_rows: list[tuple] = []
+
+    cand = spark.createDataFrame(
+        [(u, 0, None, -1, j) for j, u in enumerate(seeds)], CAND_SCHEMA
+    )
+    deferred: DataFrame | None = None
+    next_seq = 0
+    admitted_count = 0
+    g0 = 0
+
+    # ---- resume from last committed generation -------------------------
+    if ckpt is not None and resume:
+        last = ckpt.last_committed()
+        if last is not None:
+            state = ckpt.state(last)
+            next_seq = state["next_seq"]
+            admitted_count = state["admitted_count"]
+            g0 = last + 1
+            seen.add(ckpt.read(spark, last, "seen"))
+            cand = (
+                ckpt.read(spark, last, "next_candidates")
+                if ckpt.has_table(last, "next_candidates")
+                else _empty(spark, CAND_SCHEMA)
+            )
+            if ckpt.has_table(last, "deferred"):
+                deferred = ckpt.read(spark, last, "deferred")
+            for g in range(last + 1):
+                if ckpt.has_table(g, "admitted"):
+                    admitted_gens.append(ckpt.read(spark, g, "admitted"))
+                if ckpt.has_table(g, "extracted"):
+                    extracted_gens.append(ckpt.read(spark, g, "extracted"))
+
+    robots_b = F.broadcast(robots) if robots is not None else None
+
+    for g in range(g0, cfg.max_generations):
+        have_cand = not cand.isEmpty()
+        have_deferred = deferred is not None and not deferred.isEmpty()
+        if not have_cand and not have_deferred:
+            break
+
+        # ---------------- admission pipeline (F1/F2/F3/W1/W3) ----------
+        admitted_g = None
+        if have_cand:
+            c = cand.filter(F.col("url").isNotNull() & (F.col("url") != ""))
+            c = c.filter(F.col("depth") <= F.lit(cfg.max_depth))
+            c = c.withColumn(
+                "host", F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit(""))
+            )
+            if cfg.respect_robots and robots_b is not None:
+                c = c.join(robots_b, on="host", how="left")
+                c = c.filter(robots_allowed_udf(F.col("url"), F.col("rules_text")))
+                c = c.drop("rules_text")
+            # first-wins inside the wave (queue_manager.py:47 under lock)
+            w = Window.partitionBy("url").orderBy("parent_seq", "link_pos")
+            c = c.withColumn("__rn", F.row_number().over(w)).filter(
+                F.col("__rn") == 1
+            ).drop("__rn")
+            c = c.withColumn("url_hash", F.xxhash64(F.col("url")))
+            c = seen.filter_unseen(c)
+            if cfg.host_budget is not None:
+                hw = Window.partitionBy("host").orderBy("parent_seq", "link_pos")
+                c = c.withColumn("__hr", F.row_number().over(hw)).filter(
+                    F.col("__hr") <= cfg.host_budget
+                ).drop("__hr")
+            if cfg.max_pages is not None:
+                remaining = cfg.max_pages - admitted_count
+                if remaining <= 0:
+                    c = _empty(spark, c.schema)
+                else:
+                    c = top_k(c, ["parent_seq", "link_pos"], remaining)
+            admitted_g = assign_seq(
+                c, ["parent_seq", "link_pos"], start=next_seq
+            ).withColumn("generation", F.lit(g))
+            admitted_g = admitted_g.localCheckpoint(eager=True)
+            n_adm = admitted_g.count()
+            next_seq += n_adm
+            admitted_count += n_adm
+            metrics_rows.append((crawl_id, g, "admitted", float(n_adm)))
+            if n_adm > 0:
+                seen.add(admitted_g)
+                admitted_gens.append(admitted_g)
+
+        # ---------------- fetch set (J3) + politeness -------------------
+        fetchable = admitted_g if admitted_g is not None else None
+        if have_deferred:
+            d = deferred
+            fetchable = d if fetchable is None else fetchable.unionByName(d)
+        deferred = None
+        if fetchable is None or fetchable.isEmpty():
+            cand = _empty(spark, CAND_SCHEMA)
+            if ckpt is not None:
+                ckpt.commit(
+                    g,
+                    {"seen": seen.df, "next_candidates": cand},
+                    {"next_seq": next_seq, "admitted_count": admitted_count},
+                )
+            continue
+
+        if cfg.crawl_delay_window is not None and robots_b is not None:
+            fj = fetchable.join(robots_b, on="host", how="left")
+            fj = fj.withColumn("crawl_delay", crawl_delay_udf(F.col("rules_text")))
+            fj = salted_fetch_schedule(
+                fj,
+                order_cols=["depth", "enqueue_seq"],
+                n_salts=cfg.n_salts,
+            )
+            fj = fj.localCheckpoint(eager=True)
+            eligible = fj.filter(
+                F.col("fetch_time") < F.lit(cfg.crawl_delay_window)
+            ).drop("rules_text", "crawl_delay", "fetch_time")
+            deferred = fj.filter(
+                F.col("fetch_time") >= F.lit(cfg.crawl_delay_window)
+            ).drop("rules_text", "crawl_delay", "fetch_time")
+            if deferred.isEmpty():
+                deferred = None
+            else:
+                metrics_rows.append(
+                    (crawl_id, g, "deferred", float(deferred.count()))
+                )
+        else:
+            eligible = fetchable
+
+        # fetch = equi-join against the pages table; the frontier side is
+        # budget-bounded so Spark broadcasts it against the big scan
+        fetched = eligible.join(
+            pages.select("url", "html"), on="url", how="left"
+        )
+
+        expand = F.col("depth") < F.lit(cfg.max_depth)
+        ext = (
+            fetched.withColumn(
+                "e",
+                F.when(
+                    F.col("html").isNotNull(), extract_page_udf(F.col("html"))
+                ),
+            )
+            .withColumn(
+                "links",
+                F.when(
+                    F.col("html").isNotNull() & expand,
+                    link_udf(F.col("html"), F.col("url")),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+            .withColumn(
+                "status",
+                F.when(F.col("html").isNotNull(), F.lit("extracted")).otherwise(
+                    F.lit("missing")
+                ),
+            )
+            .select(
+                "url",
+                "url_hash",
+                "host",
+                "depth",
+                "parent_url",
+                "enqueue_seq",
+                "generation",
+                "status",
+                F.col("e.markdown").alias("markdown"),
+                F.col("e.title").alias("title"),
+                F.col("e.description").alias("description"),
+                F.col("e.language").alias("language"),
+                F.col("e.open_graph").alias("open_graph"),
+                F.col("e.twitter_card").alias("twitter_card"),
+                F.col("e.meta_data").alias("meta_data"),
+                F.col("e.json_ld").alias("json_ld"),
+                "links",
+            )
+        )
+        ext = ext.localCheckpoint(eager=True)
+        n_ext = ext.filter(F.col("status") == "extracted").count()
+        metrics_rows.append((crawl_id, g, "extracted", float(n_ext)))
+        metrics_rows.append(
+            (crawl_id, g, "missing", float(ext.count() - n_ext))
+        )
+        extracted_gens.append(ext)
+
+        # ---------------- expand links → next wave ----------------------
+        cand = (
+            ext.filter(F.size("links") > 0)
+            .select(
+                F.col("url").alias("parent_url"),
+                F.col("enqueue_seq").alias("parent_seq"),
+                (F.col("depth") + 1).alias("depth"),
+                F.posexplode("links").alias("link_pos", "url"),
+            )
+            .select("url", "depth", "parent_url", "parent_seq", "link_pos")
+        )
+        cand = cand.localCheckpoint(eager=True)
+
+        if ckpt is not None:
+            tables = {
+                "seen": seen.df,
+                "next_candidates": cand,
+                "admitted": admitted_g
+                if admitted_g is not None
+                else _empty(spark, CAND_SCHEMA),
+                "extracted": ext,
+            }
+            if deferred is not None:
+                tables["deferred"] = deferred
+            ckpt.commit(
+                g,
+                tables,
+                {"next_seq": next_seq, "admitted_count": admitted_count},
+            )
+
+    admitted = (
+        _union_all(admitted_gens)
+        if admitted_gens
+        else _empty(
+            spark,
+            T.StructType(
+                list(CAND_SCHEMA.fields)
+                + [
+                    T.StructField("host", T.StringType()),
+                    T.StructField("url_hash", T.LongType()),
+                    T.StructField("enqueue_seq", T.LongType()),
+                    T.StructField("generation", T.IntegerType()),
+                ]
+            ),
+        )
+    )
+    extracted = _union_all(extracted_gens) if extracted_gens else None
+    metrics = spark.createDataFrame(
+        metrics_rows or [(crawl_id, -1, "admitted", 0.0)],
+        "crawl_id string, generation int, name string, value double",
+    )
+    return CrawlResult(
+        admitted=admitted,
+        extracted=extracted,
+        metrics=metrics,
+        generations=len(extracted_gens),
+        stats={"admitted": admitted_count, "next_seq": next_seq},
+    )
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

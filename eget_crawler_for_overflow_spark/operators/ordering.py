@@ -1,0 +1,80 @@
+"""Deterministic global sequence assignment without a single-partition window.
+
+The reference's FIFO queue hands out one monotonically increasing admission
+order (queue_manager.py:54). The naive Spark translation —
+``row_number() OVER (ORDER BY ...)`` — collapses the whole dataset into ONE
+task, which is exactly the kind of plan that dies at 10^10 rows. Instead we
+do the classic two-pass zip-with-index over a range partitioning:
+
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the (unique) order
+   key — a single shuffle, same cost class as any sort;
+2. count rows per partition (cheap agg), cumulative-sum the counts on the
+   driver (P integers, not rows);
+3. ``mapInPandas`` adds ``offset + local_position`` per partition.
+
+Order keys MUST be a unique key of the frame (range partitioning may split
+equal keys across partitions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def assign_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    start: int = 0,
+    seq_col: str = "enqueue_seq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning across 2 passes
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(
+        [f for f in ranged.schema.fields if f.name != "__pid"]
+        + [T.StructField(seq_col, T.LongType())]
+    )
+
+    def add_seq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.drop(columns="__pid")
+            pdf[seq_col] = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield pdf
+
+    return ranged.mapInPandas(add_seq, out_schema)
+
+
+def top_k(df: DataFrame, order_cols: list[str], k: int) -> DataFrame:
+    """Deterministic global top-k: Spark compiles orderBy+limit to
+    TakeOrderedAndProject (per-partition heaps + driver merge), never a
+    global sort — the right primitive for budget truncation
+    (queue_manager.py:49 / crawler_service.py:125-127)."""
+    return df.orderBy(*order_cols).limit(k)
