@@ -1,0 +1,175 @@
+"""Text-analysis functions: markdown cleaning (reference T13) plus the
+training-data-pipeline scalar functions (language-ID, quality scoring,
+token counting, fingerprinting).
+
+Design rule: anything expressible with built-in ``pyspark.sql.functions``
+stays JVM-side (whole-stage codegen); Python appears only where semantics
+require it (Python ``re`` for md_clean parity) and then always as an
+Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# T13 markdown cleaning (chunk_service.py:27-64) — bug-for-bug: the first
+# regex collapses ALL whitespace (newlines included) before the later
+# newline-specific fixes, which is the reference's actual behavior
+# (SURVEY.md §2.3 T13).
+# ---------------------------------------------------------------------------
+
+_WS = re.compile(r"\s+")
+_HDR = re.compile(r"(#{1,6})([^#\s])")
+_NL3 = re.compile(r"\n{3,}")
+_LIST = re.compile(r"(\n\s*)-([^\s])")
+_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+
+
+def clean_markdown(markdown_content: str) -> str:
+    if markdown_content is None:
+        return None
+    cleaned = _WS.sub(" ", markdown_content)
+    cleaned = _HDR.sub(r"\1 \2", cleaned)
+    cleaned = _NL3.sub("\n\n", cleaned)
+    cleaned = _LIST.sub(r"\1- \2", cleaned)
+    cleaned = _COMMENT.sub("", cleaned)
+    cleaned = cleaned.replace("&nbsp;", " ").replace("\xa0", " ")
+    return "\n".join(line.rstrip() for line in cleaned.split("\n"))
+
+
+@F.pandas_udf(T.StringType())
+def clean_markdown_udf(md: pd.Series) -> pd.Series:
+    return pd.Series([clean_markdown(m) for m in md])
+
+
+# ---------------------------------------------------------------------------
+# language-ID: marker-word n-gram heuristic, built-ins only (JVM-side).
+# Scores each language by marker-token hits; argmax with deterministic
+# tie-break by language code; 'und' when nothing matches.
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": ("de5", "shi4", "zhong", "wen2", "ni3"),
+}
+
+
+def lang_score(text_col: Column, lang: str) -> Column:
+    words = F.split(F.lower(text_col), r"\s+")
+    score = F.lit(0)
+    for marker in LANG_MARKERS[lang]:
+        score = score + F.size(F.filter(words, lambda w: w == F.lit(marker)))
+    return score
+
+
+def lang_id(text_col: Column) -> Column:
+    """argmax over marker scores; ties broken by language-code order;
+    all-zero → 'und'."""
+    pairs = [
+        F.struct(
+            lang_score(text_col, lang).alias("score"), F.lit(lang).alias("lang")
+        )
+        for lang in sorted(LANG_MARKERS)
+    ]
+    best = F.aggregate(
+        F.array(*pairs),
+        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring: integer features + bucketed score (built-ins only).
+# Ratios are compared by cross-multiplication so everything stays integer
+# (bit-exact across engines).
+# ---------------------------------------------------------------------------
+
+
+def quality_features(text_col: Column) -> list[Column]:
+    words = F.split(text_col, r"\s+")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "and", "of", "to", "is", "in")])
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, F.lower(w))))
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", ""))
+    return [
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        n_alpha.alias("n_alpha"),
+        # quality bucket: 2 = wordy+stopword-bearing, 1 = some words, 0 = junk
+        F.when((n_words >= 20) & (n_stop * 100 >= n_words * 5), F.lit(2))
+        .when(n_words >= 5, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("quality_bucket"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# token counting: whitespace tokens + a BPE-ish subword estimate
+# (word-chunks of ≤4 chars + punctuation runs), built-ins only.
+# ---------------------------------------------------------------------------
+
+
+def whitespace_token_count(text_col: Column) -> Column:
+    return F.size(F.split(F.trim(text_col), r"\s+"))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """ceil(len(word)/4) per word + punctuation runs — a deterministic
+    subword-count proxy: sum over words of ceil(len/4)."""
+    words = F.split(F.trim(text_col), r"\s+")
+    per_word = F.transform(words, lambda w: (F.length(w) + F.lit(3)) / F.lit(4))
+    return F.aggregate(
+        per_word, F.lit(0), lambda acc, x: acc + x.cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting: md5 whole-doc + winnowed rolling-hash sketch
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprint(text_col: Column) -> Column:
+    """Whole-document content fingerprint (md5 hex — engine-portable)."""
+    return F.md5(text_col)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def winnow_fingerprint_udf(text: pd.Series) -> pd.Series:
+    """Winnowing sketch (Schleimer et al. 2003): k-gram rolling hashes,
+    minimum per sliding window — a robust near-dup fingerprint for long
+    docs. Pure-Python rolling hash (not SQL-expressible; rows-only check)."""
+    K, W, MOD, B = 8, 16, (1 << 61) - 1, 131
+    out = []
+    for t in text:
+        if not t or len(t) < K:
+            out.append([])
+            continue
+        h = 0
+        power = pow(B, K - 1, MOD)
+        hashes = []
+        for i, ch in enumerate(t):
+            h = (h * B + ord(ch)) % MOD
+            if i >= K - 1:
+                hashes.append(h)
+                h = (h - ord(t[i - K + 1]) * power) % MOD
+        sketch = []
+        last = None
+        for i in range(0, max(1, len(hashes) - W + 1)):
+            m = min(hashes[i : i + W])
+            if m != last:
+                sketch.append(m)
+                last = m
+        out.append(sketch)
+    return pd.Series(out)

@@ -1,0 +1,254 @@
+"""Semantic markdown chunker — the engine's UDTF-shaped operator
+(1 page → N chunks), as a pandas UDF returning ``array<struct>`` +
+``posexplode`` (SURVEY.md §2.8 C1).
+
+Bug-for-bug reimplementation of the reference
+(/root/reference/services/chunker/semantic_chunker.py:25-238), including
+its quirks — they are the observable semantics:
+
+* the "Rest of the header handling code..." placeholder (:99) means header
+  lines themselves are DROPPED and no ``Header i`` metadata is ever
+  recorded, so ``path``/``level`` are always empty/0 and ``heading`` None;
+* blank lines flush the current content into a chunk (:101-110);
+* code fences emit a dedicated code chunk at the closing fence (:51-71);
+* preamble before the first header becomes a chunk only when a header is
+  eventually found and no chunk precedes it (:90-96);
+* type heuristics on content prefix, with the reference's exact
+  ``'-|-' in content`` table test (:189-197);
+* size flags: <200 words → needs_merge, >1500 → needs_split (:166-175);
+* word_count = ``len(content.split())`` (:161).
+
+Deterministic ids (``url#position``) replace the reference's uuid4
+(SURVEY.md §1.2). The markdown-cleaning pre-pass (chunk_service.py:27-64)
+lives in functions/text.py and is applied by the caller when wanted.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_HEADER_SEPS = ["#", "##", "###", "####", "#####", "######"]
+_MIN_WORDS = 200
+_MAX_WORDS = 1500
+_LIST_RE = re.compile(r"^\s*[-*]\s", re.MULTILINE)
+
+
+def _create_chunk(
+    content: str, chunk_type: str = "text", code_language: str | None = None
+) -> dict | None:
+    if not content:
+        return None
+    content = "\n".join(line.rstrip() for line in content.splitlines()).strip()
+    if not content:
+        return None
+    lines = content.splitlines()
+    word_count = len(content.split())
+    is_code = chunk_type == "code"
+    needs_merge = False
+    needs_split = False
+    if not is_code:  # header/preamble chunks never occur (placeholder bug)
+        if word_count < _MIN_WORDS:
+            needs_merge = True
+        elif word_count > _MAX_WORDS:
+            needs_split = True
+    if chunk_type == "text":
+        if content.startswith("#"):
+            chunk_type = "header"
+        elif content.startswith("```"):
+            chunk_type = "code"
+        elif (
+            content.startswith("- ")
+            or content.startswith("* ")
+            or content.startswith("1. ")
+        ):
+            chunk_type = "list"
+        elif "|" in content and "-|-" in content:
+            chunk_type = "table"
+    return {
+        "content": content,
+        "type": chunk_type,
+        "code_language": code_language if is_code else None,
+        "word_count": word_count,
+        "line_count": len(lines),
+        "level": 0,  # header metadata never recorded (reference :99)
+        "path": [],
+        "heading": None,
+        "needs_merge": needs_merge,
+        "needs_split": needs_split,
+        "has_code": "```" in content or "`" in content,
+        "has_lists": bool(_LIST_RE.search(content)),
+        "has_links": "[" in content and "](" in content,
+        "position": 0,
+    }
+
+
+def chunk_markdown(text: str) -> list[dict]:
+    if text is None:
+        return []
+    chunks: list[dict] = []
+    current: list[str] = []
+    preamble: list[str] = []
+    found_first_header = False
+    in_code = False
+    code_language: str | None = None
+
+    def emit(content: str, ctype: str = "text", lang: str | None = None) -> None:
+        c = _create_chunk(content, ctype, lang)
+        if c is not None:
+            chunks.append(c)
+
+    for line in text.split("\n"):
+        stripped = line.strip()
+
+        if not found_first_header and not any(
+            sep + " " in stripped for sep in _HEADER_SEPS
+        ):
+            preamble.append(line)
+            continue
+
+        if not in_code and stripped.startswith("```"):
+            in_code = True
+            code_language = stripped[3:].strip()
+            current.append(line)
+            continue
+        elif in_code:
+            current.append(line)
+            if stripped.startswith("```"):
+                in_code = False
+                if current:
+                    emit("\n".join(current), "code", code_language)
+                    current = []
+            continue
+
+        header_match = False
+        for sep in _HEADER_SEPS:
+            if stripped.startswith(sep + " "):
+                found_first_header = True
+                header_match = True
+                if current:
+                    emit("\n".join(current))
+                    current = []
+                elif preamble and not chunks:
+                    emit("\n".join(preamble))
+                    preamble = []
+                # reference :99 — header line itself is dropped
+
+        if not header_match and not in_code:
+            if line.strip() or current:
+                current.append(line)
+            elif current:
+                emit("\n".join(current))
+                current = []
+
+    if current:
+        emit("\n".join(current))
+
+    for i, c in enumerate(chunks):
+        c["position"] = i
+    return chunks
+
+
+CHUNK_STRUCT = T.StructType(
+    [
+        T.StructField("content", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("code_language", T.StringType()),
+        T.StructField("word_count", T.IntegerType()),
+        T.StructField("line_count", T.IntegerType()),
+        T.StructField("level", T.IntegerType()),
+        T.StructField("path", T.ArrayType(T.StringType())),
+        T.StructField("heading", T.StringType()),
+        T.StructField("needs_merge", T.BooleanType()),
+        T.StructField("needs_split", T.BooleanType()),
+        T.StructField("has_code", T.BooleanType()),
+        T.StructField("has_lists", T.BooleanType()),
+        T.StructField("has_links", T.BooleanType()),
+        T.StructField("position", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(T.ArrayType(CHUNK_STRUCT))
+def chunk_markdown_udf(md: pd.Series) -> pd.Series:
+    return pd.Series([chunk_markdown(m) for m in md])
+
+
+def chunks_table(df, md_col: str = "markdown", url_col: str = "url"):
+    """(url, markdown) → exploded chunks with deterministic ids
+    (``url#position`` replaces uuid4, SURVEY.md §1.2)."""
+    exploded = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(chunk_markdown_udf(F.col(md_col))).alias("pos", "c"),
+    )
+    return exploded.select(
+        "url",
+        F.concat_ws("#", F.col("url"), F.col("c.position")).alias("chunk_id"),
+        F.col("c.position").alias("position"),
+        F.col("c.content").alias("content"),
+        F.col("c.type").alias("type"),
+        F.col("c.code_language").alias("code_language"),
+        F.col("c.word_count").alias("word_count"),
+        F.col("c.line_count").alias("line_count"),
+        F.col("c.level").alias("level"),
+        F.col("c.path").alias("path"),
+        F.col("c.heading").alias("heading"),
+        F.col("c.needs_merge").alias("needs_merge"),
+        F.col("c.needs_split").alias("needs_split"),
+        F.col("c.has_code").alias("has_code"),
+        F.col("c.has_lists").alias("has_lists"),
+        F.col("c.has_links").alias("has_links"),
+    )
+
+
+def sentence_chunks(text: str, chunk_size: int = 512, overlap: int = 50) -> list[dict]:
+    """Sentence chunker in the spirit of the reference's Chonkie
+    ``SentenceChunker(chunk_size=512, overlap=50)`` (chunk_service.py:20-24;
+    the library is unavailable here, so this is a from-scratch equivalent):
+    greedy sentence packing by token count with token overlap."""
+    if not text:
+        return []
+    sentences = [s for s in re.split(r"(?<=[.!?])\s+", text) if s.strip()]
+    out: list[dict] = []
+    cur: list[str] = []
+    cur_tokens = 0
+    for s in sentences:
+        n = len(s.split())
+        if cur and cur_tokens + n > chunk_size:
+            content = " ".join(cur)
+            out.append({"content": content, "token_count": cur_tokens})
+            tail = content.split()[-overlap:] if overlap else []
+            cur = [" ".join(tail)] if tail else []
+            cur_tokens = len(tail)
+        cur.append(s)
+        cur_tokens += n
+    if cur:
+        out.append({"content": " ".join(cur), "token_count": cur_tokens})
+    for i, c in enumerate(out):
+        c["position"] = i
+    return out
+
+
+SENTENCE_CHUNK_STRUCT = T.StructType(
+    [
+        T.StructField("content", T.StringType()),
+        T.StructField("token_count", T.IntegerType()),
+        T.StructField("position", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(T.ArrayType(SENTENCE_CHUNK_STRUCT))
+def sentence_chunk_udf(md: pd.Series) -> pd.Series:
+    return pd.Series([sentence_chunks(m) for m in md])
+
+
+def chunk_dispatch(md_col: Column, chunker_type: str = "semantic") -> Column:
+    """C3 dispatch (chunk_service.py:96,144-147)."""
+    if chunker_type == "sentence":
+        return sentence_chunk_udf(md_col)
+    return chunk_markdown_udf(md_col)

@@ -1,0 +1,285 @@
+"""Deduplication operators for large-scale text corpora.
+
+All hot-path math uses built-in ``pyspark.sql.functions`` (JVM, codegen):
+md5 as the engine-portable hash (DuckDB computes the identical digest, so
+every operator here is oracle-checkable), integer cross-multiplication
+instead of float ratios (bit-exact thresholds), and band-bucket self-joins
+instead of quadratic pair scans.
+
+Scale notes per operator:
+* exact: one hash-aggregate — the partial/final combine makes the shuffle
+  carry one row per distinct digest, not per row;
+* MinHash+LSH: signatures are per-row projections (no shuffle); the only
+  shuffle is the band-bucket self-join, whose key cardinality is tuned by
+  (bands, rows-per-band); candidate pairs then verify with exact Jaccard;
+* SimHash: per-row signature + bit_count(xor) on candidate pairs;
+* n-gram Jaccard: verification primitive (array_intersect/union on
+  distinct shingles);
+* embedding cosine: zip_with/aggregate dot products on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One survivor (min id) per distinct text. Returns
+    (fingerprint, keep_id, n_copies)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + Jaccard (verification primitive)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams, built-ins only: split → sliding join."""
+    words = F.split(F.trim(text_col), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= n, grams).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def jaccard_counts(a: Column, b: Column) -> tuple[Column, Column]:
+    """(|A∩B|, |A∪B|) as integers — compare thresholds by
+    cross-multiplication, never float division."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter, union
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,  # (id_a, id_b)
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """Exact n-gram Jaccard over given candidate pairs; keeps pairs with
+    jaccard >= threshold_pct/100 (integer compare)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("sh", "sh_a"), pairs["id_a"] == sh["id"])
+        .drop("id")
+        .join(
+            sh.withColumnRenamed("sh", "sh_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    inter, union = jaccard_counts(F.col("sh_a"), F.col("sh_b"))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            inter.alias("n_intersect"),
+            union.alias("n_union"),
+        )
+        .filter(F.col("n_intersect") * 100 >= F.lit(threshold_pct) * F.col("n_union"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
+    """num_perm md5-based min-hashes (hex-string min ≡ uniform permutation
+    min; md5 is identical in DuckDB, keeping the oracle exact)."""
+    def _perm_min(p: int):
+        prefix = f"{p}|"
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[_perm_min(p) for p in range(num_perm)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band-bucket candidate pairs (id_a < id_b). rows_per_band =
+    num_perm/bands; a pair collides iff some band's sub-signature matches
+    exactly — the classic S-curve knob."""
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(F.col(text_col), n), num_perm).alias("sig"),
+    )
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at(
+                                        F.col("sig"), b * rows_per_band + r + 1
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = band_rows.withColumnRenamed("id", "id_a")
+    right = band_rows.withColumnRenamed("id", "id_b")
+    return (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """LSH candidates → exact-Jaccard verification. Returns confirmed
+    near-dup pairs with integer intersect/union counts."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, n, num_perm, bands)
+    return ngram_jaccard_pairs(df, cand, id_col, text_col, n, threshold_pct)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, md5-derived — portable to the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+
+def simhash32(text_col: Column) -> Column:
+    """Per-word 32-bit hash = first 8 md5 hex chars; signature bit j set
+    iff sum over words of ±1 (bit j of word hash) is positive. Built-ins
+    only: conv(hex,16,10) → bigint, shiftright/bitwise ops, aggregate."""
+    words = F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+"))
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+    def _bit_sum(j: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + (F.shiftright(h, j) % 2 * 2 - 1).cast("int"),
+        )
+
+    bit_sums = [_bit_sum(j) for j in range(32)]
+    sig = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        sig = sig + F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming distance over candidate pairs via bit_count(xor)."""
+    sh = df.select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed("sh", "sh_a"), pairs["id_a"] == sh["id"])
+        .drop("id")
+        .join(
+            sh.withColumnRenamed("sh", "sh_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return j.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    j = (
+        pairs.join(e.withColumnRenamed("v", "v_a"), pairs["id_a"] == e["id"])
+        .drop("id")
+        .join(
+            e.withColumnRenamed("v", "v_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    return j.select("id_a", "id_b").filter(
+        cosine_sim(F.col("v_a"), F.col("v_b")) >= F.lit(threshold)
+    )

@@ -156,8 +156,14 @@ def run_crawl(
                 "host", F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit(""))
             )
             if cfg.respect_robots and robots_b is not None:
+                # seeds bypass robots: the reference seeds via add_url
+                # directly (crawler_service.py:117); robots gate only
+                # extracted links (link_extractor.py:119-120)
                 c = c.join(robots_b, on="host", how="left")
-                c = c.filter(robots_allowed_udf(F.col("url"), F.col("rules_text")))
+                c = c.filter(
+                    (F.col("depth") == 0)
+                    | robots_allowed_udf(F.col("url"), F.col("rules_text"))
+                )
                 c = c.drop("rules_text")
             # first-wins inside the wave (queue_manager.py:47 under lock)
             w = Window.partitionBy("url").orderBy("parent_seq", "link_pos")

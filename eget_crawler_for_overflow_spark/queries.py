@@ -1,0 +1,467 @@
+"""Operator queries (driver contract) + DuckDB oracle SQL.
+
+Each entry pairs a Spark implementation (real engine code paths: pandas-UDF
+extraction, the BFS frontier engine, built-in dedup/similarity math) with
+an independent closed-form DuckDB oracle derived from the pagemodel
+formulas. Column names are aliased identically on both sides (driver
+hash-compares after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import pagemodel as pm
+from .fixtures import load_pages, load_table
+from .functions.extract import extract_page_udf, language_udf, markdown_udf, title_udf
+from .functions.text import (
+    bpe_ish_token_count,
+    clean_markdown_udf,
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    whitespace_token_count,
+)
+from .functions.urls import canonicalize_udf, make_link_udf, make_pattern_filter_udf
+from .operators import dedup, multimodal, similarity
+from .operators.chunker import chunks_table
+from .operators.frontier import CrawlConfig, run_crawl
+from .operators.ordering import assign_seq, top_k
+from .operators.politeness import host_budget_rank
+
+SF001 = "/root/testdata/sf0.01"  # driver correctness tier
+
+# exclude/include regexes (Python re ∩ RE2-compatible so the oracle can
+# mirror them with DuckDB regexp_matches)
+EXCLUDE_PAT = r"/p/\d*[13579]$"  # odd page ids
+INCLUDE_PAT = r"/p/1\d*$"
+
+CRAWL_SEED_IDS = (0, 2, 4, 5, 7)  # first five host0 pages
+CRAWL_DEPTH = 5
+
+_crawl_cache: dict[tuple, object] = {}
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_pages(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _crawl(spark: SparkSession, sf_dir: str):
+    key = (sf_dir, CRAWL_SEED_IDS, CRAWL_DEPTH)
+    if key not in _crawl_cache:
+        _, n_hosts = pm.sizing(sf_dir)
+        seeds = [pm.url_of(i, n_hosts) for i in CRAWL_SEED_IDS]
+        cfg = CrawlConfig(max_depth=CRAWL_DEPTH, max_pages=None, use_bloom=True)
+        res = run_crawl(spark, _pages(spark, sf_dir), seeds, cfg)
+        res.admitted = res.admitted.localCheckpoint(eager=True)
+        res.extracted = res.extracted.localCheckpoint(eager=True)
+        _crawl_cache[key] = res
+    return _crawl_cache[key]
+
+
+# ===========================================================================
+# Spark-side queries
+# ===========================================================================
+
+
+def q_extract_text(spark, sf_dir):
+    """T7: byte-identical markdown per url (the north-rule invariant)."""
+    return _pages(spark, sf_dir).select(
+        "url", markdown_udf(F.col("html")).alias("markdown")
+    )
+
+
+def q_extract_text_matches(spark, sf_dir):
+    """Self-audit: extracted markdown vs the oracle text column, counted."""
+    p = _pages(spark, sf_dir)
+    return p.select(
+        (markdown_udf(F.col("html")) == F.col("text")).alias("is_equal")
+    ).groupBy("is_equal").agg(F.count("*").alias("n"))
+
+
+def q_lang_extract(spark, sf_dir):
+    return _pages(spark, sf_dir).select(
+        "url", language_udf(F.col("html")).alias("language")
+    )
+
+
+def q_title_extract(spark, sf_dir):
+    return _pages(spark, sf_dir).select(
+        "url", title_udf(F.col("html")).alias("title")
+    )
+
+
+def q_structured_og(spark, sf_dir):
+    """T9: OpenGraph extraction — og:title / og:locale scalars."""
+    p = _pages(spark, sf_dir)
+    e = p.select("url", extract_page_udf(F.col("html")).alias("e"))
+    return e.select(
+        "url",
+        F.coalesce(F.col("e.open_graph")["title"], F.lit("")).alias("og_title"),
+        F.coalesce(F.col("e.open_graph")["locale"], F.lit("")).alias("og_locale"),
+        F.coalesce(F.try_element_at(F.col("e.json_ld"), F.lit(1)), F.lit("")).alias(
+            "json_ld0"
+        ),
+    )
+
+
+def q_link_explode(spark, sf_dir):
+    """T3+T1: real HTML link extraction, normalized + same-domain filtered."""
+    link_udf = make_link_udf()  # per-page base domain
+    p = _pages(spark, sf_dir)
+    return p.select(
+        "url", F.explode(link_udf(F.col("html"), F.col("url"))).alias("link")
+    ).distinct()
+
+
+def q_url_normalize(spark, sf_dir):
+    """T1 corner cases: relative / fragment / query-string hrefs."""
+    p = _pages(spark, sf_dir).select("url")
+    hrefs = p.select(
+        "url",
+        F.explode(
+            F.array(
+                F.concat(F.lit("/p/"), F.regexp_extract("url", r"/p/(\d+)$", 1)),
+                F.concat(F.col("url"), F.lit("#sec")),
+                F.concat(F.col("url"), F.lit("?a=1&b=2")),
+                F.lit("mailto:x@example.com"),
+            )
+        ).alias("href"),
+    )
+    return hrefs.select(
+        "url", "href", canonicalize_udf(F.col("href"), F.col("url")).alias("canon")
+    )
+
+
+def q_host_groups(spark, sf_dir):
+    """A4: per-host candidate counts (makes the host0 skew visible)."""
+    link_udf = make_link_udf()
+    p = _pages(spark, sf_dir)
+    links = p.select(F.explode(link_udf(F.col("html"), F.col("url"))).alias("link"))
+    return (
+        links.withColumn("host", F.parse_url(F.col("link"), F.lit("HOST")))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def q_exclude_patterns(spark, sf_dir):
+    keep = make_pattern_filter_udf([EXCLUDE_PAT], None)
+    return _pages(spark, sf_dir).select("url").filter(keep(F.col("url")))
+
+
+def q_include_patterns(spark, sf_dir):
+    keep = make_pattern_filter_udf(None, [INCLUDE_PAT])
+    return _pages(spark, sf_dir).select("url").filter(keep(F.col("url")))
+
+
+def q_host_filter(spark, sf_dir):
+    """F4: same-domain gate over raw child candidates (pre-filter set)."""
+    link_udf = make_link_udf(same_domain=False)
+    p = _pages(spark, sf_dir)
+    cand = p.select(
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("base_host"),
+        F.explode(link_udf(F.col("html"), F.col("url"))).alias("link"),
+    )
+    return (
+        cand.filter(
+            F.parse_url(F.col("link"), F.lit("HOST")) == F.col("base_host")
+        )
+        .select("url", "link")
+        .distinct()
+    )
+
+
+def q_depth_gate(spark, sf_dir):
+    """F2: depth predicate over a synthetic depth column."""
+    p = _pages(spark, sf_dir).select(
+        "url", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("i")
+    )
+    return p.select(
+        "url", ((F.col("i") * 31) % 12).cast("int").alias("depth")
+    ).filter(F.col("depth") <= 3)
+
+
+def q_page_budget(spark, sf_dir):
+    """F3/W3: deterministic budget top-k + scale-safe sequence assignment."""
+    p = _pages(spark, sf_dir).select(
+        "url", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("i")
+    )
+    lim = top_k(p, ["i"], 100)
+    return assign_seq(lim, ["i"], start=0).select("url", "enqueue_seq")
+
+
+def q_host_budget_topk(spark, sf_dir):
+    """W2: per-host admission cap (rank ≤ 3 by page id)."""
+    p = _pages(spark, sf_dir).select(
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("i"),
+    )
+    ranked = host_budget_rank(p, ["i"])
+    return ranked.filter(F.col("host_rank") <= 3).select(
+        "host", "url", "host_rank"
+    )
+
+
+def q_frontier_dedup(spark, sf_dir):
+    """F1: first-wins dedup of wave-1 candidates from seed pages (i%97==0)."""
+    link_udf = make_link_udf()
+    p = _pages(spark, sf_dir).withColumn(
+        "i", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    )
+    seeds = p.filter(F.col("i") % 97 == 0)
+    cand = seeds.select(
+        F.col("i").alias("src_i"),
+        F.explode(link_udf(F.col("html"), F.col("url"))).alias("link"),
+    )
+    return cand.groupBy("link").agg(F.min("src_i").alias("first_src"))
+
+
+def q_bfs_reach(spark, sf_dir):
+    """Flagship: full engine crawl; (url, first-wins depth)."""
+    res = _crawl(spark, sf_dir)
+    return res.admitted.select("url", "depth")
+
+
+def q_bfs_order(spark, sf_dir):
+    """Admission order (rows-only check; pytest proves order vs the
+    reference simulator)."""
+    res = _crawl(spark, sf_dir)
+    return res.admitted.select("url", "depth", "enqueue_seq")
+
+
+def q_bfs_depth_counts(spark, sf_dir):
+    res = _crawl(spark, sf_dir)
+    return res.admitted.groupBy("depth").agg(F.count("*").alias("n_urls"))
+
+
+def q_crawl_stats(spark, sf_dir):
+    """A1: fetch outcome counts over the engine's extracted table."""
+    res = _crawl(spark, sf_dir)
+    return res.extracted.groupBy("status").agg(F.count("*").alias("n"))
+
+
+def q_frontier_status_counts(spark, sf_dir):
+    """A2 (rows-only): per-generation admitted counts from engine metrics."""
+    res = _crawl(spark, sf_dir)
+    return res.metrics.filter(F.col("name") == "admitted").select(
+        "generation", F.col("value").cast("long").alias("n_admitted")
+    )
+
+
+def q_md_clean(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.lit("#Title "), F.col("text"), F.lit(" <!-- note --> -x \xa0end")
+    )
+    return d.select(
+        "doc_id", clean_markdown_udf(dirty).alias("cleaned")
+    )
+
+
+def q_semantic_chunks(spark, sf_dir):
+    """C1 end-to-end: html → markdown UDF → chunker UDF → posexplode."""
+    p = _pages(spark, sf_dir)
+    md = p.select("url", markdown_udf(F.col("html")).alias("markdown"))
+    ch = chunks_table(md)
+    return ch.select(
+        "url", "position", "content", "type", "word_count", "code_language"
+    )
+
+
+def q_chunk_stats(spark, sf_dir):
+    """A3: chunk count + word-count aggregate by chunk type."""
+    p = _pages(spark, sf_dir)
+    md = p.select("url", markdown_udf(F.col("html")).alias("markdown"))
+    ch = chunks_table(md)
+    return ch.groupBy("type").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("word_count").alias("total_words"),
+    )
+
+
+# ---- training-data ops ----------------------------------------------------
+
+
+def _docs_with_dups(spark, sf_dir, exact: bool) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    if exact:
+        copy = d.select(
+            (F.col("doc_id") + 10000).alias("doc_id"), F.col("text")
+        )
+    else:
+        copy = d.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail words here")).alias("text"),
+        )
+    return d.unionByName(copy)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs_with_dups(spark, sf_dir, exact=True))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir, exact=False)
+    ids = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 10000).alias("id_b")
+    )
+    return dedup.ngram_jaccard_pairs(d, ids, threshold_pct=60)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir, exact=False)
+    return dedup.minhash_dedup(d, threshold_pct=60)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir, exact=False)
+    ids = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 10000).alias("id_b")
+    )
+    return dedup.simhash_pairs(d, ids, max_hamming=32).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Even ids get an identical copy (cos=1 → dup), odd ids a negated copy
+    (cos=-1 → not a dup) — the threshold has to actually discriminate."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copy = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.when(
+            F.col("vec_id") % 2 == 0, F.col("embedding")
+        ).otherwise(F.transform(F.col("embedding"), lambda x: -x)).alias("embedding"),
+    )
+    both = e.unionByName(copy)
+    pairs = e.select(
+        F.col("vec_id").alias("id_a"), (F.col("vec_id") + 10000).alias("id_b")
+    )
+    return dedup.embedding_dup_pairs(both, pairs, threshold=0.95)
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ann_bruteforce(e, qs, k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    anchors = similarity.default_anchors(e, b=8)
+    qs = e.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ann_lsh(e, qs, anchors, k=5)
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_quality(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", *quality_features(F.col("text")))
+
+
+def q_token_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    blobs = multimodal.blobs_from_documents(_docs(spark, sf_dir))
+    return multimodal.extract_features(blobs)
+
+
+def q_event_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_duration_quantiles(spark, sf_dir):
+    """A6: exact median by rank (both engines pick the same stored value —
+    no float arithmetic, so the hash matches)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    n = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(n).alias("cnt"),
+    )
+    return ranked.filter(
+        F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long")
+    ).select("event_type", F.col("value").alias("median_value"))
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES = {
+    "extract_text": q_extract_text,
+    "extract_text_matches": q_extract_text_matches,
+    "lang_extract": q_lang_extract,
+    "title_extract": q_title_extract,
+    "structured_og": q_structured_og,
+    "link_explode": q_link_explode,
+    "url_normalize": q_url_normalize,
+    "host_groups": q_host_groups,
+    "exclude_patterns": q_exclude_patterns,
+    "include_patterns": q_include_patterns,
+    "host_filter": q_host_filter,
+    "depth_gate": q_depth_gate,
+    "page_budget": q_page_budget,
+    "host_budget_topk": q_host_budget_topk,
+    "frontier_dedup": q_frontier_dedup,
+    "bfs_reach": q_bfs_reach,
+    "bfs_order": q_bfs_order,
+    "bfs_depth_counts": q_bfs_depth_counts,
+    "crawl_stats": q_crawl_stats,
+    "frontier_status_counts": q_frontier_status_counts,
+    "md_clean": q_md_clean,
+    "semantic_chunks": q_semantic_chunks,
+    "chunk_stats": q_chunk_stats,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_features": q_multimodal_features,
+    "event_stats": q_event_stats,
+    "duration_quantiles": q_duration_quantiles,
+}

@@ -1,0 +1,100 @@
+"""Local replica of the driver's correctness harness: run every queries()
+entry on Spark at sf0.01, run the matching oracle_sql() in DuckDB, compare
+row counts and order-insensitive value multisets.
+
+Usage: python tools/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings".split()
+)
+
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+
+def main(names=None):
+    import __spark_entry__ as entrymod
+    from eget_crawler_for_overflow_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = names or list(qs)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF)
+            srows = [tuple(norm(v) for v in row) for row in sdf.collect()]
+            scols = sorted(sdf.columns)
+            # sort column order by name as driver does
+            idx = [sdf.columns.index(c) for c in scols]
+            srows = Counter(tuple(r[i] for i in idx) for r in srows)
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({sum(srows.values())} rows) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            orel = con.sql(oracles[name])
+            ocols = sorted(orel.columns)
+            oidx = [orel.columns.index(c) for c in ocols]
+            orows = Counter(
+                tuple(norm(row[i]) for i in oidx) for row in orel.fetchall()
+            )
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e).splitlines()[0][:160]}")
+            failures.append(name)
+            continue
+        if scols != ocols:
+            print(f"FAIL {name}: columns {scols} vs {ocols}")
+            failures.append(name)
+            continue
+        if srows == orows:
+            print(f"OK   {name}: {sum(srows.values())} rows [{time.time()-t0:.1f}s]")
+        else:
+            print(
+                f"FAIL {name}: spark {sum(srows.values())} rows vs oracle "
+                f"{sum(orows.values())} rows"
+            )
+            only_s = list((srows - orows).items())[:3]
+            only_o = list((orows - srows).items())[:3]
+            print(f"  spark-only: {only_s}")
+            print(f"  oracle-only: {only_o}")
+            failures.append(name)
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if failures:
+        print("failures:", failures)
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
