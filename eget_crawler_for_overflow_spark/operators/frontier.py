@@ -262,6 +262,7 @@ def run_crawl(
                     F.lit("missing")
                 ),
             )
+            .withColumn("fetch_generation", F.lit(g))
             .select(
                 "url",
                 "url_hash",
@@ -270,6 +271,7 @@ def run_crawl(
                 "parent_url",
                 "enqueue_seq",
                 "generation",
+                "fetch_generation",
                 "status",
                 F.col("e.markdown").alias("markdown"),
                 F.col("e.title").alias("title"),
@@ -307,11 +309,10 @@ def run_crawl(
             tables = {
                 "seen": seen.df,
                 "next_candidates": cand,
-                "admitted": admitted_g
-                if admitted_g is not None
-                else _empty(spark, CAND_SCHEMA),
                 "extracted": ext,
             }
+            if admitted_g is not None:
+                tables["admitted"] = admitted_g
             if deferred is not None:
                 tables["deferred"] = deferred
             ckpt.commit(

@@ -1,0 +1,26 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from eget_crawler_for_overflow_spark.session import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf001():
+    return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def sf01():
+    return "/root/testdata/sf0.01"

@@ -1,0 +1,90 @@
+"""Dedup + similarity semantics on handcrafted frames (Spark)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eget_crawler_for_overflow_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (3, "completely different words entirely here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs_df):
+    out = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup(docs_df).collect()}
+    assert out[0] == 2  # 0 and 1 collapse, min id survives
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_finds_near_dup_not_unrelated(docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup(docs_df, threshold_pct=50).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_jaccard_counts_exact(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e f")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    r = dedup.ngram_jaccard_pairs(df, pairs, threshold_pct=50).collect()[0]
+    # shingles: {abc,bcd,cde} vs {abc,bcd,cde,def} → 3/4
+    assert (r["n_intersect"], r["n_union"]) == (3, 4)
+
+
+def test_simhash_identical_texts_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(df, pairs, max_hamming=32).collect()
+    }
+    assert got[(0, 1)] == 0
+    assert got[(0, 2)] > 0
+
+
+def test_ann_bruteforce_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # anti-parallel
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in similarity.ann_bruteforce(df, q, k=3).orderBy("rank").collect()
+    ]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf01):
+    emb = spark.read.parquet(f"{sf01}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_bruteforce(emb, qs, k=5).collect()
+    }
+    anchors = similarity.default_anchors(emb, b=4)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh(emb, qs, anchors, k=5).collect()
+    }
+    # LSH is approximate: candidates come only from the same bucket, but
+    # whatever it returns must be a plausible neighbor set (sanity: overlap
+    # with brute-force nonzero at 4 bits / 16 buckets over 500 vecs)
+    assert approx and len(approx & brute) > 0

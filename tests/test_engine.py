@@ -1,0 +1,186 @@
+"""End-to-end engine equivalence vs the pure-Python reference simulator
+(SURVEY.md §5.3), plus checkpoint/resume, politeness, and Bloom-filter
+behavior. Runs on the sf0.001 corpus (500 pages, 8 hosts)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from eget_crawler_for_overflow_spark import pagemodel as pm
+from eget_crawler_for_overflow_spark.fixtures import load_pages
+from eget_crawler_for_overflow_spark.functions.robots import robots_allowed
+from eget_crawler_for_overflow_spark.operators.frontier import (
+    CrawlConfig,
+    run_crawl,
+)
+from tests.reference_sim import simulate_crawl
+
+SF = "/root/testdata/sf0.001"
+N_PAGES, N_HOSTS = 500, 8
+
+
+def make_links_of(exclude=(), include=(), robots_rules=None):
+    url2i = {pm.url_of(i, N_HOSTS): i for i in range(N_PAGES)}
+    exc = [re.compile(p) for p in exclude]
+    inc = [re.compile(p) for p in include]
+
+    def links_of(u):
+        i = url2i.get(u)
+        if i is None:
+            return []
+        out = []
+        for v in pm.expected_links(i, N_PAGES, N_HOSTS):
+            if exc and any(p.search(v) for p in exc):
+                continue
+            if inc and not any(p.search(v) for p in inc):
+                continue
+            if robots_rules is not None:
+                host = v.split("/")[2]
+                if not robots_allowed(v, robots_rules.get(host)):
+                    continue
+            out.append(v)
+        return out
+
+    return links_of
+
+
+def seeds_host0(n=3):
+    return [pm.url_of(i, N_HOSTS) for i in (0, 2, 4, 5, 7)][:n]
+
+
+def run_and_order(spark, pages, seeds, cfg, **kw):
+    res = run_crawl(spark, pages, seeds, cfg, **kw)
+    rows = res.admitted.orderBy("enqueue_seq").collect()
+    return res, [(r["url"], r["depth"], r["enqueue_seq"]) for r in rows]
+
+
+def expect(seeds, links_of, max_depth, max_pages=None):
+    sim = simulate_crawl(seeds, links_of, max_depth, max_pages)
+    return [(u, d, s) for s, (u, d) in enumerate(sim)]
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return load_pages(spark, SF)
+
+
+def test_bfs_order_matches_reference(spark, pages):
+    cfg = CrawlConfig(max_depth=4, max_pages=None)
+    _, got = run_and_order(spark, pages, seeds_host0(), cfg)
+    assert got == expect(seeds_host0(), make_links_of(), 4)
+    assert len(got) > 20
+
+
+def test_budget_truncation_first_wins(spark, pages):
+    cfg = CrawlConfig(max_depth=6, max_pages=15)
+    _, got = run_and_order(spark, pages, seeds_host0(), cfg)
+    assert got == expect(seeds_host0(), make_links_of(), 6, 15)
+    assert len(got) == 15
+
+
+def test_duplicate_seeds_deduped(spark, pages):
+    seeds = [seeds_host0(1)[0]] * 3 + seeds_host0(2)
+    cfg = CrawlConfig(max_depth=2, max_pages=None)
+    _, got = run_and_order(spark, pages, seeds, cfg)
+    assert got == expect(seeds, make_links_of(), 2)
+
+
+def test_exclude_include_patterns(spark, pages):
+    exclude = (r"/p/\d*[02468]$",)
+    cfg = CrawlConfig(max_depth=5, max_pages=None, exclude=exclude)
+    _, got = run_and_order(spark, pages, seeds_host0(), cfg)
+    assert got == expect(seeds_host0(), make_links_of(exclude=exclude), 5)
+
+
+def test_depth_zero_and_one(spark, pages):
+    for d in (0, 1):
+        cfg = CrawlConfig(max_depth=d, max_pages=None)
+        _, got = run_and_order(spark, pages, seeds_host0(), cfg)
+        assert got == expect(seeds_host0(), make_links_of(), d), f"depth {d}"
+
+
+ROBOTS = {
+    "host0.example": "User-agent: *\nDisallow: /nav\nCrawl-delay: 2",
+    "host1.example": "User-agent: *\nDisallow: /",
+}
+
+
+def test_robots_filtering(spark, pages):
+    robots_df = spark.createDataFrame(
+        list(ROBOTS.items()), "host string, rules_text string"
+    )
+    cfg = CrawlConfig(max_depth=4, max_pages=None, respect_robots=True)
+    _, got = run_and_order(spark, pages, seeds_host0(), cfg, robots=robots_df)
+    assert got == expect(seeds_host0(), make_links_of(robots_rules=ROBOTS), 4)
+    assert all("/nav" not in u for u, _, _ in got)
+
+
+def test_politeness_defers_but_preserves_set(spark, pages):
+    robots_df = spark.createDataFrame(
+        list(ROBOTS.items()), "host string, rules_text string"
+    )
+    base = CrawlConfig(max_depth=3, max_pages=None, respect_robots=True)
+    res_plain = run_crawl(spark, pages, seeds_host0(), base, robots=robots_df)
+    polite = CrawlConfig(
+        max_depth=3,
+        max_pages=None,
+        respect_robots=True,
+        crawl_delay_window=8.0,  # host0 delay=2 → ≤4 fetches/host/generation
+        n_salts=2,
+        max_generations=64,
+    )
+    res_pol = run_crawl(spark, pages, seeds_host0(), polite, robots=robots_df)
+    plain_set = {(r["url"], r["depth"]) for r in res_plain.admitted.collect()}
+    pol_set = {(r["url"], r["depth"]) for r in res_pol.admitted.collect()}
+    assert plain_set == pol_set  # politeness reschedules, never drops
+    per_gen_host = (
+        res_pol.extracted.groupBy("fetch_generation", "host").count().collect()
+    )
+    host0 = [r for r in per_gen_host if r["host"] == "host0.example"]
+    assert host0 and all(r["count"] <= 4 for r in host0)
+    assert res_pol.generations > res_plain.generations  # deferral happened
+
+
+def test_checkpoint_resume_identical(spark, pages, tmp_path):
+    cfg_full = CrawlConfig(max_depth=4, max_pages=None)
+    full = run_crawl(spark, pages, seeds_host0(), cfg_full)
+    want = sorted(
+        (r["url"], r["depth"], r["enqueue_seq"]) for r in full.admitted.collect()
+    )
+
+    ck = str(tmp_path / "ckpt")
+    cfg_half = CrawlConfig(max_depth=4, max_pages=None, max_generations=2)
+    run_crawl(spark, pages, seeds_host0(), cfg_half, checkpoint_dir=ck)
+    resumed = run_crawl(
+        spark,
+        pages,
+        seeds_host0(),
+        CrawlConfig(max_depth=4, max_pages=None),
+        checkpoint_dir=ck,
+        resume=True,
+    )
+    got = sorted(
+        (r["url"], r["depth"], r["enqueue_seq"]) for r in resumed.admitted.collect()
+    )
+    assert got == want
+
+
+def test_bloom_and_exact_paths_agree(spark, pages):
+    got = {}
+    for bloom in (True, False):
+        cfg = CrawlConfig(max_depth=4, max_pages=None, use_bloom=bloom)
+        _, order = run_and_order(spark, pages, seeds_host0(), cfg)
+        got[bloom] = order
+    assert got[True] == got[False]
+
+
+def test_extracted_markdown_byte_identical_to_pages(spark, pages):
+    cfg = CrawlConfig(max_depth=3, max_pages=None)
+    res = run_crawl(spark, pages, seeds_host0(), cfg)
+    joined = res.extracted.filter(F.col("status") == "extracted").join(
+        pages.select("url", "text"), on="url"
+    )
+    n_bad = joined.filter(F.col("markdown") != F.col("text")).count()
+    assert n_bad == 0
+    assert joined.count() > 10
