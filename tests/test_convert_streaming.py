@@ -1,0 +1,86 @@
+"""Converter registry plumbing + Structured Streaming extraction path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eget_crawler_for_overflow_spark.fixtures import load_pages
+from eget_crawler_for_overflow_spark.functions.convert import (
+    clean_text,
+    convert_files,
+    get_converter,
+    read_binary_files,
+    register_converter,
+)
+from eget_crawler_for_overflow_spark.streaming.stream_extract import (
+    extract_stream,
+    stream_pages,
+    windowed_host_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_registry_dispatch_and_stub(tmp_path):
+    assert get_converter("txt")(b"hello   world") == "hello world"
+    with pytest.raises(NotImplementedError):
+        get_converter("pdf")(b"%PDF-1.4")
+    with pytest.raises(ValueError):
+        get_converter("exe")
+    register_converter("rot13", lambda b: b.decode().swapcase())
+    assert get_converter("rot13")(b"aB") == "Ab"
+
+
+def test_clean_text_reference_semantics():
+    assert clean_text("a\x00b\x07c") == "abc"
+    assert clean_text("a  \t b") == "a b"
+    assert clean_text("a\n\n\n\n\nb") == "a\n\nb"
+    assert clean_text("line   \nnext  ") == "line\nnext"
+
+
+def test_convert_files_pipeline(spark, tmp_path):
+    (tmp_path / "ok.txt").write_text("some   text\n\n\n\nhere")
+    (tmp_path / "doc.pdf").write_bytes(b"%PDF-fake")
+    out = convert_files(read_binary_files(spark, str(tmp_path))).collect()
+    by_type = {r["file_type"]: r for r in out}
+    assert by_type["txt"]["markdown"] == "some text\n\nhere"
+    assert by_type["txt"]["error"] is None
+    assert by_type["pdf"]["markdown"] is None
+    assert "NotImplementedError" in by_type["pdf"]["error"]
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    pages = load_pages(spark, SF)
+    src = str(tmp_path / "pages_stream")
+    pages.limit(50).write.parquet(src)
+
+    stream = extract_stream(stream_pages(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ext_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT url, markdown FROM ext_stream")
+    batch = pages.limit(50).select("url", F.col("text").alias("markdown"))
+    assert got.count() == 50
+    assert got.exceptAll(batch).count() == 0  # byte-identical to batch oracle
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    pages = load_pages(spark, SF)
+    src = str(tmp_path / "pages_stream2")
+    pages.limit(100).write.parquet(src)
+    counts = windowed_host_counts(extract_stream(stream_pages(spark, src)))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("host_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM host_counts").collect()
+    assert sum(r["n_pages"] for r in rows) == 100
+    assert all(r["host"].startswith("host") for r in rows)

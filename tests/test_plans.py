@@ -1,0 +1,59 @@
+"""Physical-plan property tests: the plans we'd want at 100 TB, asserted
+at test scale so regressions are caught structurally, not by timing."""
+
+from pyspark.sql import functions as F
+
+from eget_crawler_for_overflow_spark.fixtures import load_pages
+from eget_crawler_for_overflow_spark.functions.extract import markdown_udf
+from eget_crawler_for_overflow_spark.operators import similarity
+from eget_crawler_for_overflow_spark.plans.explain import (
+    has_broadcast_join,
+    plan_text,
+    pushed_filters,
+    read_schema,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushes_into_parquet_scan(spark):
+    pages = load_pages(spark, SF)
+    df = pages.filter(F.col("lang") == "en").select("url")
+    pf = pushed_filters(df)
+    assert "lang" in pf and "IsNotNull" in pf or "EqualTo" in pf, pf
+
+
+def test_column_pruning_reaches_scan(spark):
+    pages = load_pages(spark, SF)
+    df = pages.select("url", markdown_udf(F.col("html")).alias("md"))
+    rs = read_schema(df)
+    # only url+html read; text/lang/warc_ts pruned
+    assert "url" in rs and "html" in rs
+    assert "warc_ts" not in rs and "lang" not in rs, rs
+
+
+def test_seen_antijoin_uses_hash_join_not_cartesian(spark):
+    pages = load_pages(spark, SF).limit(100)
+    seen = pages.select(F.xxhash64("url").alias("url_hash"))
+    cand = pages.select("url", F.xxhash64("url").alias("url_hash"))
+    df = cand.join(seen, on="url_hash", how="left_anti")
+    txt = plan_text(df)
+    assert "Cartesian" not in txt
+    assert "Join" in txt or "BroadcastHashJoin" in txt
+
+
+def test_ann_broadcasts_query_side(spark, sf01):
+    emb = spark.read.parquet(f"{sf01}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    df = similarity.ann_bruteforce(emb, qs, k=3)
+    assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in plan_text(df)
+
+
+def test_budget_topk_is_take_ordered(spark):
+    from eget_crawler_for_overflow_spark.operators.ordering import top_k
+
+    pages = load_pages(spark, SF).select(
+        "url", F.xxhash64("url").alias("k")
+    )
+    df = top_k(pages, ["k"], 10)
+    assert "TakeOrderedAndProject" in plan_text(df, "simple")
