@@ -83,8 +83,15 @@ def main() -> None:
     cfg = CrawlConfig(max_depth=6, max_pages=20000, use_bloom=True)
 
     def crawl_job():
-        res = run_crawl(spark, pages, seeds, cfg)
-        return res.extracted.filter(F.col("status") == "extracted").count()
+        # hot-cache the pages table for the generation loop: every wave
+        # re-probes it, and at cluster scale Iceberg bucket pruning /
+        # storage-partitioned joins play this role
+        pages.persist()
+        try:
+            res = run_crawl(spark, pages, seeds, cfg)
+            return res.extracted.filter(F.col("status") == "extracted").count()
+        finally:
+            pages.unpersist()
 
     t_crawl, n_crawled = timed(crawl_job)
     queries["crawl_bfs"] = round(t_crawl, 3)

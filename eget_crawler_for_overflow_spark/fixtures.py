@@ -77,7 +77,12 @@ def load_pages(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFram
         os.makedirs(_CACHE_ROOT, exist_ok=True)
         tmp = path + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        build_pages(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        # many small-ish files so scan parallelism saturates the cores even
+        # though the whole corpus is only a few hundred MB
+        n_files = max(spark.sparkContext.defaultParallelism * 2, 16)
+        build_pages(spark, sf_dir).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         shutil.rmtree(path, ignore_errors=True)
         os.rename(tmp, path)
     return spark.read.parquet(path)

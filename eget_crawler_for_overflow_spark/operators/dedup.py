@@ -75,11 +75,16 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold_pct: int = 80,
+    shingles_df: DataFrame | None = None,  # precomputed (id, sh)
 ) -> DataFrame:
     """Exact n-gram Jaccard over given candidate pairs; keeps pairs with
     jaccard >= threshold_pct/100 (integer compare)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else df.select(
+            F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+        )
     )
     j = (
         pairs.join(sh.withColumnRenamed("sh", "sh_a"), pairs["id_a"] == sh["id"])
@@ -126,15 +131,20 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_perm: int = 16,
     bands: int = 4,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Band-bucket candidate pairs (id_a < id_b). rows_per_band =
     num_perm/bands; a pair collides iff some band's sub-signature matches
     exactly — the classic S-curve knob."""
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col), n), num_perm).alias("sig"),
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else df.select(
+            F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+        )
     )
+    sig = sh.select("id", minhash_signature(F.col("sh"), num_perm).alias("sig"))
     band_rows = sig.select(
         "id",
         F.explode(
@@ -179,9 +189,21 @@ def minhash_dedup(
     threshold_pct: int = 80,
 ) -> DataFrame:
     """LSH candidates → exact-Jaccard verification. Returns confirmed
-    near-dup pairs with integer intersect/union counts."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, n, num_perm, bands)
-    return ngram_jaccard_pairs(df, cand, id_col, text_col, n, threshold_pct)
+    near-dup pairs with integer intersect/union counts.
+
+    The shingle array is computed ONCE and persisted: without the persist
+    barrier, Catalyst's CollapseProject inlines the split/distinct
+    expression into all 16 permutation mins (16× recompute) and again into
+    the verification join — measured ~10× slower at sf0.1."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).persist()
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_perm, bands, shingles_df=sh
+    )
+    return ngram_jaccard_pairs(
+        df, cand, id_col, text_col, n, threshold_pct, shingles_df=sh
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -192,23 +214,32 @@ def minhash_dedup(
 def simhash32(text_col: Column) -> Column:
     """Per-word 32-bit hash = first 8 md5 hex chars; signature bit j set
     iff sum over words of ±1 (bit j of word hash) is positive. Built-ins
-    only: conv(hex,16,10) → bigint, shiftright/bitwise ops, aggregate."""
+    only — and single-pass: one md5 per word, with the 32 per-bit sums
+    carried as an array accumulator through ONE aggregate (the naive
+    32-separate-aggregates formulation makes Catalyst inline and recompute
+    the md5 transform 32x)."""
     words = F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+"))
     hashes = F.transform(
         words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
     )
-    def _bit_sum(j: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + (F.shiftright(h, j) % 2 * 2 - 1).cast("int"),
-        )
-
-    bit_sums = [_bit_sum(j) for j in range(32)]
-    sig = F.lit(0).cast("long")
-    for j, s in enumerate(bit_sums):
-        sig = sig + F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-    return sig
+    pows = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+    # floor(h / 2^j) == h >> j for nonneg h; double math exact below 2^53
+    bit_sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, h: F.zip_with(
+            acc, pows, lambda a, p: a + (F.floor(h / p) % 2 * 2 - 1)
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_sums,
+            pows,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_pairs(

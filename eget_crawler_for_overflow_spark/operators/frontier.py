@@ -65,6 +65,11 @@ class CrawlConfig:
     respect_robots: bool = False
     host_budget: int | None = None  # per-generation per-host admission cap
     crawl_delay_window: float | None = None  # logical seconds per generation
+    # Priority frontier (north-rule W2): admission order key becomes
+    # (depth*w_depth + host_seen_count*w_host, parent_seq, link_pos).
+    # Both 0.0 (default) == exact reference FIFO parity.
+    priority_depth_weight: float = 0.0
+    priority_host_weight: float = 0.0
     n_salts: int = 8
     n_shards: int = 32
     use_bloom: bool = True
@@ -177,15 +182,33 @@ def run_crawl(
                 c = c.withColumn("__hr", F.row_number().over(hw)).filter(
                     F.col("__hr") <= cfg.host_budget
                 ).drop("__hr")
+            order_cols = ["parent_seq", "link_pos"]
+            use_priority = (
+                cfg.priority_depth_weight != 0.0 or cfg.priority_host_weight != 0.0
+            )
+            if use_priority:
+                host_counts = seen.df.groupBy("host").agg(
+                    F.count("*").alias("__host_seen")
+                )
+                c = c.join(F.broadcast(host_counts), on="host", how="left")
+                c = c.withColumn(
+                    "priority",
+                    F.col("depth") * F.lit(cfg.priority_depth_weight)
+                    + F.coalesce(F.col("__host_seen"), F.lit(0))
+                    * F.lit(cfg.priority_host_weight),
+                ).drop("__host_seen")
+                order_cols = ["priority", "parent_seq", "link_pos"]
             if cfg.max_pages is not None:
                 remaining = cfg.max_pages - admitted_count
                 if remaining <= 0:
                     c = _empty(spark, c.schema)
                 else:
-                    c = top_k(c, ["parent_seq", "link_pos"], remaining)
-            admitted_g = assign_seq(
-                c, ["parent_seq", "link_pos"], start=next_seq
-            ).withColumn("generation", F.lit(g))
+                    c = top_k(c, order_cols, remaining)
+            admitted_g = assign_seq(c, order_cols, start=next_seq).withColumn(
+                "generation", F.lit(g)
+            )
+            if use_priority:
+                admitted_g = admitted_g.drop("priority")
             admitted_g = admitted_g.localCheckpoint(eager=True)
             n_adm = admitted_g.count()
             next_seq += n_adm

@@ -109,9 +109,13 @@ class SeenSet:
         (admission is budget-bounded, so this is driver-safe per wave; the
         cluster-scale variant rebuilds shard filters distributively)."""
         delta = admitted.select("url_hash", "url", "host")
+        # repartition by the raw join key: HashPartitioning(url_hash, n)
+        # satisfies the anti-join's ClusteredDistribution, so the seen side
+        # is never re-shuffled per generation (the Iceberg analog is
+        # bucket(url_hash) + storage-partitioned join)
         self.df = (
             self.df.unionByName(delta)
-            .repartition(self.n_shards, F.pmod(F.col("url_hash"), F.lit(self.n_shards)))
+            .repartition(self.n_shards, F.col("url_hash"))
             .localCheckpoint(eager=True)
         )
         if self.blooms is not None:
@@ -132,9 +136,9 @@ class SeenSet:
         if self.blooms is None or self.count == 0:
             if self.count == 0 and self.blooms is not None:
                 return cand  # nothing seen yet
-            return cand.join(
-                self.df.select(hash_col).distinct(), on=hash_col, how="left_anti"
-            )
+            # no distinct(): anti-join semantics ignore right-side dups,
+            # and the distinct would cost an extra full shuffle of seen
+            return cand.join(self.df.select(hash_col), on=hash_col, how="left_anti")
 
         blooms = self.blooms
         n_shards = self.n_shards
@@ -161,7 +165,5 @@ class SeenSet:
         marked = marked.localCheckpoint(eager=True)  # evaluate bloom once
         fresh = marked.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
         maybe = marked.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-        checked = maybe.join(
-            self.df.select(hash_col).distinct(), on=hash_col, how="left_anti"
-        )
+        checked = maybe.join(self.df.select(hash_col), on=hash_col, how="left_anti")
         return fresh.unionByName(checked)
