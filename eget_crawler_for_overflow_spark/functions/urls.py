@@ -58,9 +58,30 @@ def extract_links(
     """Reference ``LinkExtractor.extract_links`` with deterministic
     first-occurrence ordering. ``base_domain`` defaults to the crawl seed's
     netloc in the engine; standalone callers get the page's own host."""
+    return extract_links_from_root(
+        parse_html(html),
+        base_url,
+        base_domain=base_domain,
+        exclude=exclude,
+        include=include,
+        same_domain=same_domain,
+        robots_allowed=robots_allowed,
+    )
+
+
+def extract_links_from_root(
+    root,
+    base_url: str,
+    base_domain: str | None = None,
+    exclude: list[re.Pattern] | None = None,
+    include: list[re.Pattern] | None = None,
+    same_domain: bool = True,
+    robots_allowed=None,
+) -> list[str]:
+    """Link extraction over an already-parsed tree (the crawl hot path
+    shares one parse between content and link extraction)."""
     if base_domain is None:
         base_domain = host_of_url(base_url)
-    root = parse_html(html)
     out: list[str] = []
     seen: set[str] = set()
     for a in root.find_all("a", pred=lambda x: x.get("href") is not None):

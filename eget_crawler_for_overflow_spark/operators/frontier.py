@@ -36,9 +36,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.extract import extract_page_udf
+from ..functions.extract import make_extract_bundle_udf
 from ..functions.robots import crawl_delay_udf, robots_allowed_udf
-from ..functions.urls import host_of_url, make_link_udf
+from ..functions.urls import host_of_url
 from ..sources.checkpoint import CheckpointManager
 from .ordering import assign_seq, top_k
 from .politeness import salted_fetch_schedule
@@ -102,7 +102,8 @@ def run_crawl(
     cfg = cfg or CrawlConfig()
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     seed_host = host_of_url(seeds[0]) if cfg.same_domain else None
-    link_udf = make_link_udf(
+    # one parse per page: content + links share the tree (extract.py)
+    bundle_udf = make_extract_bundle_udf(
         base_domain=seed_host,
         exclude=list(cfg.exclude),
         include=list(cfg.include),
@@ -217,6 +218,14 @@ def run_crawl(
             if n_adm > 0:
                 seen.add(admitted_g)
                 admitted_gens.append(admitted_g)
+                metrics_rows.append(
+                    (
+                        crawl_id,
+                        g,
+                        "admitted_hosts",
+                        float(admitted_g.select("host").distinct().count()),
+                    )
+                )
 
         # ---------------- fetch set (J3) + politeness -------------------
         fetchable = admitted_g if admitted_g is not None else None
@@ -269,16 +278,17 @@ def run_crawl(
             fetched.withColumn(
                 "e",
                 F.when(
-                    F.col("html").isNotNull(), extract_page_udf(F.col("html"))
+                    F.col("html").isNotNull(),
+                    bundle_udf(F.col("html"), F.col("url")),
                 ),
             )
             .withColumn(
                 "links",
-                F.when(
-                    F.col("html").isNotNull() & expand,
-                    link_udf(F.col("html"), F.col("url")),
-                ).otherwise(F.array().cast("array<string>")),
+                F.when(expand, F.col("e.links")).otherwise(
+                    F.array().cast("array<string>")
+                ),
             )
+            .withColumn("links", F.coalesce(F.col("links"), F.array()))
             .withColumn(
                 "status",
                 F.when(F.col("html").isNotNull(), F.lit("extracted")).otherwise(

@@ -186,6 +186,12 @@ ORACLES["semantic_chunks"] = (
     "word_count, code_language FROM chunks"
 )
 
+ORACLES["chunk_positions"] = (
+    _CHUNKS
+    + "SELECT url, CAST(position AS INT) AS position, "
+    "url || '#' || position AS chunk_id FROM chunks"
+)
+
 ORACLES["chunk_stats"] = (
     _CHUNKS
     + "SELECT type, COUNT(*) AS n_chunks, CAST(SUM(word_count) AS BIGINT) "

@@ -282,6 +282,29 @@ def q_semantic_chunks(spark, sf_dir):
     )
 
 
+def q_chunk_positions(spark, sf_dir):
+    """W4: per-document chunk position indexing via posexplode."""
+    p = _pages(spark, sf_dir)
+    md = p.select("url", markdown_udf(F.col("html")).alias("markdown"))
+    return chunks_table(md).select("url", "position", "chunk_id")
+
+
+def q_sentence_chunks(spark, sf_dir):
+    """C2 (rows-only): sentence chunker over document texts."""
+    from .operators.chunker import sentence_chunk_udf
+
+    d = _docs(spark, sf_dir)
+    ch = d.select(
+        "doc_id",
+        F.posexplode(sentence_chunk_udf(F.col("text"))).alias("pos", "c"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.position").alias("position"),
+        F.col("c.token_count").alias("token_count"),
+    )
+
+
 def q_chunk_stats(spark, sf_dir):
     """A3: chunk count + word-count aggregate by chunk type."""
     p = _pages(spark, sf_dir)
@@ -449,6 +472,8 @@ QUERIES = {
     "frontier_status_counts": q_frontier_status_counts,
     "md_clean": q_md_clean,
     "semantic_chunks": q_semantic_chunks,
+    "chunk_positions": q_chunk_positions,
+    "sentence_chunks": q_sentence_chunks,
     "chunk_stats": q_chunk_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
