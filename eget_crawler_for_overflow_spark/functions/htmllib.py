@@ -11,6 +11,7 @@ Python and only ever runs inside Arrow-batched pandas UDFs.
 
 from __future__ import annotations
 
+import os
 import re
 from html import unescape
 from html.parser import HTMLParser
@@ -196,10 +197,11 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].append(Node(None, {"text": data}))
 
 
-def parse_html(html: str) -> Node:
-    """Parse an HTML string into a Node tree. Never raises: parse errors
-    degrade to a partial tree (matching the reference's try/except-and-log
-    posture, e.g. link_extractor.py:123-125)."""
+def parse_html_stdlib(html: str) -> Node:
+    """Reference parser path: stdlib ``html.parser``. Kept as the
+    validation oracle for the fast tokenizer (tests assert tree-equivalent
+    extraction on the whole corpus) and as an escape hatch
+    (EGET_SLOW_PARSER=1)."""
     builder = _TreeBuilder()
     try:
         builder.feed(html)
@@ -207,6 +209,134 @@ def parse_html(html: str) -> Node:
     except Exception:
         pass
     return builder.root
+
+
+# ---------------------------------------------------------------------------
+# fast tokenizer: one compiled scan instead of html.parser's char-by-char
+# goahead loop (~2-3× on the extraction hot path). Quote-aware tag regex,
+# raw-text handling for script/style, entity unescape on demand.
+# ---------------------------------------------------------------------------
+
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:_.-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>",
+    re.DOTALL,
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+)))?"
+)
+_RAWTEXT = {"script": "</script", "style": "</style", "textarea": "</textarea"}
+
+
+def _parse_attrs(s: str) -> dict[str, str]:
+    if not s or not s.strip():
+        return {}
+    attrs: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(s):
+        name = m.group(1).lower()
+        if name in attrs:
+            continue  # html.parser keeps the first occurrence? dict keeps last;
+            # BeautifulSoup keeps the LAST — but duplicate attrs are out of
+            # the parity surface; first-wins is deterministic
+        if m.group(2) is None:
+            val = ""
+        else:
+            val = m.group(3) or m.group(4) or m.group(5) or ""
+            if "&" in val:
+                val = unescape(val)
+        attrs[name] = val
+    return attrs
+
+
+def parse_html_fast(html: str) -> Node:
+    root = Node("[document]")
+    root.tag_index = {}
+    index = root.tag_index
+    stack = [root]
+    i, n = 0, len(html)
+    ordc = 0
+
+    def data(text: str) -> None:
+        if text:
+            if "&" in text:
+                text = unescape(text)
+            stack[-1].append(Node(None, {"text": text}))
+
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            data(html[i:])
+            break
+        if lt > i:
+            data(html[i:lt])
+        if html.startswith("<!--", lt):
+            end = html.find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        nxt = html[lt + 1 : lt + 2]
+        if nxt in ("!", "?"):
+            end = html.find(">", lt)
+            i = n if end < 0 else end + 1
+            continue
+        m = _TAG_RE.match(html, lt)
+        if m is None:
+            data("<")  # stray '<' treated as text (tolerant)
+            i = lt + 1
+            continue
+        closing, name, attr_s, selfclose = m.groups()
+        name = name.lower()
+        i = m.end()
+        if closing:
+            for idx in range(len(stack) - 1, 0, -1):
+                if stack[idx].tag == name:
+                    del stack[idx:]
+                    break
+            continue
+        # implicit closes (mirrors _TreeBuilder.handle_starttag)
+        if name == "p" and stack[-1].tag == "p":
+            stack.pop()
+        if name == "li" and stack[-1].tag == "li":
+            stack.pop()
+        if name in _P_CLOSERS and stack[-1].tag == "p":
+            stack.pop()
+        node = Node(name, _parse_attrs(attr_s))
+        ordc += 1
+        node.ord = ordc
+        stack[-1].append(node)
+        lst = index.get(name)
+        if lst is None:
+            index[name] = [node]
+        else:
+            lst.append(node)
+        if selfclose or name in VOID_ELEMENTS:
+            continue
+        raw_end = _RAWTEXT.get(name)
+        if raw_end is not None:
+            lo = html.lower()
+            end = lo.find(raw_end, i)
+            if end < 0:
+                node.append(Node(None, {"text": html[i:]}))
+                i = n
+            else:
+                if end > i:
+                    node.append(Node(None, {"text": html[i:end]}))
+                gt = html.find(">", end)
+                i = n if gt < 0 else gt + 1
+            continue
+        stack.append(node)
+    return root
+
+
+def parse_html(html: str) -> Node:
+    """Parse an HTML string into a Node tree. Never raises: parse errors
+    degrade to a partial tree (matching the reference's try/except-and-log
+    posture, e.g. link_extractor.py:123-125)."""
+    if os.environ.get("EGET_SLOW_PARSER"):
+        return parse_html_stdlib(html)
+    try:
+        return parse_html_fast(html)
+    except Exception:
+        return parse_html_stdlib(html)
 
 
 def attr_matches(value: str | None, pattern: re.Pattern) -> bool:
