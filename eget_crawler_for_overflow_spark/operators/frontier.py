@@ -118,7 +118,9 @@ def run_crawl(
     cand = spark.createDataFrame(
         [(u, 0, None, -1, j) for j, u in enumerate(seeds)], CAND_SCHEMA
     )
+    n_cand = len(seeds)
     deferred: DataFrame | None = None
+    n_deferred = 0
     next_seq = 0
     admitted_count = 0
     g0 = 0
@@ -137,8 +139,10 @@ def run_crawl(
                 if ckpt.has_table(last, "next_candidates")
                 else _empty(spark, CAND_SCHEMA)
             )
+            n_cand = cand.count()
             if ckpt.has_table(last, "deferred"):
                 deferred = ckpt.read(spark, last, "deferred")
+                n_deferred = deferred.count()
             for g in range(last + 1):
                 if ckpt.has_table(g, "admitted"):
                     admitted_gens.append(ckpt.read(spark, g, "admitted"))
@@ -148,13 +152,14 @@ def run_crawl(
     robots_b = F.broadcast(robots) if robots is not None else None
 
     for g in range(g0, cfg.max_generations):
-        have_cand = not cand.isEmpty()
-        have_deferred = deferred is not None and not deferred.isEmpty()
+        have_cand = n_cand > 0
+        have_deferred = deferred is not None and n_deferred > 0
         if not have_cand and not have_deferred:
             break
 
         # ---------------- admission pipeline (F1/F2/F3/W1/W3) ----------
         admitted_g = None
+        n_adm = 0
         if have_cand:
             c = cand.filter(F.col("url").isNotNull() & (F.col("url") != ""))
             c = c.filter(F.col("depth") <= F.lit(cfg.max_depth))
@@ -211,29 +216,35 @@ def run_crawl(
             if use_priority:
                 admitted_g = admitted_g.drop("priority")
             admitted_g = admitted_g.localCheckpoint(eager=True)
-            n_adm = admitted_g.count()
+            # ONE action yields count, bloom hashes, and host stats —
+            # admission is budget-bounded so the collect is driver-safe
+            stat_rows = admitted_g.select("url_hash", "host").collect()
+            n_adm = len(stat_rows)
             next_seq += n_adm
             admitted_count += n_adm
             metrics_rows.append((crawl_id, g, "admitted", float(n_adm)))
             if n_adm > 0:
-                seen.add(admitted_g)
+                seen.add(admitted_g, hashes=[r["url_hash"] for r in stat_rows])
                 admitted_gens.append(admitted_g)
                 metrics_rows.append(
                     (
                         crawl_id,
                         g,
                         "admitted_hosts",
-                        float(admitted_g.select("host").distinct().count()),
+                        float(len({r["host"] for r in stat_rows})),
                     )
                 )
 
         # ---------------- fetch set (J3) + politeness -------------------
-        fetchable = admitted_g if admitted_g is not None else None
+        n_adm_g = n_adm if admitted_g is not None else 0
+        fetchable = admitted_g if (admitted_g is not None and n_adm > 0) else None
         if have_deferred:
             d = deferred
             fetchable = d if fetchable is None else fetchable.unionByName(d)
+        n_fetchable = n_adm_g + (n_deferred if have_deferred else 0)
         deferred = None
-        if fetchable is None or fetchable.isEmpty():
+        n_deferred = 0
+        if fetchable is None or n_fetchable == 0:
             cand = _empty(spark, CAND_SCHEMA)
             if ckpt is not None:
                 ckpt.commit(
@@ -258,12 +269,11 @@ def run_crawl(
             deferred = fj.filter(
                 F.col("fetch_time") >= F.lit(cfg.crawl_delay_window)
             ).drop("rules_text", "crawl_delay", "fetch_time")
-            if deferred.isEmpty():
+            n_deferred = deferred.count()
+            if n_deferred == 0:
                 deferred = None
             else:
-                metrics_rows.append(
-                    (crawl_id, g, "deferred", float(deferred.count()))
-                )
+                metrics_rows.append((crawl_id, g, "deferred", float(n_deferred)))
         else:
             eligible = fetchable
 
@@ -318,10 +328,15 @@ def run_crawl(
             )
         )
         ext = ext.localCheckpoint(eager=True)
-        n_ext = ext.filter(F.col("status") == "extracted").count()
-        metrics_rows.append((crawl_id, g, "extracted", float(n_ext)))
+        status_counts = {
+            r["status"]: r["count"]
+            for r in ext.groupBy("status").count().collect()
+        }
         metrics_rows.append(
-            (crawl_id, g, "missing", float(ext.count() - n_ext))
+            (crawl_id, g, "extracted", float(status_counts.get("extracted", 0)))
+        )
+        metrics_rows.append(
+            (crawl_id, g, "missing", float(status_counts.get("missing", 0)))
         )
         extracted_gens.append(ext)
 
@@ -337,6 +352,7 @@ def run_crawl(
             .select("url", "depth", "parent_url", "parent_seq", "link_pos")
         )
         cand = cand.localCheckpoint(eager=True)
+        n_cand = cand.count()
 
         if ckpt is not None:
             tables = {

@@ -262,6 +262,36 @@ def q_frontier_status_counts(spark, sf_dir):
     )
 
 
+def q_politeness_schedule(spark, sf_dir):
+    """A4/W2 (rows-only): salted per-host fetch slots over wave-1
+    candidates — eligible-vs-deferred split for a 10s logical window with
+    crawl-delay 2s on every host."""
+    from .operators.politeness import salted_fetch_schedule
+
+    link_udf = make_link_udf()
+    p = _pages(spark, sf_dir).withColumn(
+        "i", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    )
+    cand = (
+        p.filter(F.col("i") % 97 == 0)
+        .select(
+            F.col("i").alias("seq"),
+            F.explode(link_udf(F.col("html"), F.col("url"))).alias("url"),
+        )
+        .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+        .withColumn("crawl_delay", F.lit(2.0))
+    )
+    sched = salted_fetch_schedule(cand, order_cols=["seq", "url"], n_salts=4)
+    return sched.groupBy("host").agg(
+        F.sum(F.when(F.col("fetch_time") < 10.0, 1).otherwise(0)).alias(
+            "n_eligible"
+        ),
+        F.sum(F.when(F.col("fetch_time") >= 10.0, 1).otherwise(0)).alias(
+            "n_deferred"
+        ),
+    )
+
+
 def q_md_clean(spark, sf_dir):
     d = _docs(spark, sf_dir)
     dirty = F.concat(
@@ -470,6 +500,7 @@ QUERIES = {
     "bfs_depth_counts": q_bfs_depth_counts,
     "crawl_stats": q_crawl_stats,
     "frontier_status_counts": q_frontier_status_counts,
+    "politeness_schedule": q_politeness_schedule,
     "md_clean": q_md_clean,
     "semantic_chunks": q_semantic_chunks,
     "chunk_positions": q_chunk_positions,
