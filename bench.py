@@ -97,14 +97,16 @@ def main() -> None:
     t_extract = timed_extract(spark, pages)
     queries["extract_all_pages"] = round(t_extract, 3)
 
-    # q2: full crawl loop (frontier + seen anti-join + extraction + expand)
+    # q2: full crawl loop (frontier + bloom/anti-join seen + broadcast
+    # fetch + extraction + link expansion) — the BASELINE.json metric is
+    # pages fetched+extracted per second THROUGH THIS LOOP. Multi-host
+    # (same_domain off), deep enough that waves amortize the per-generation
+    # barrier cost (wave sizes grow 100 → ~90k).
     _, n_hosts = pm.sizing(SF_DIR)
-    seeds = [
-        pm.url_of(i, n_hosts)
-        for i in range(3000)
-        if pm.host_of(i, n_hosts) == 0
-    ][:100]
-    cfg = CrawlConfig(max_depth=6, max_pages=20000, use_bloom=True)
+    seeds = [pm.url_of(i, n_hosts) for i in range(100)]
+    cfg = CrawlConfig(
+        max_depth=6, max_pages=200_000, same_domain=False, use_bloom=True
+    )
 
     def crawl_job():
         # hot-cache the pages table for the generation loop: every wave
@@ -176,13 +178,14 @@ def main() -> None:
         }
 
     result = {
-        "metric": "pages_extracted_per_sec",
-        "value": round(n_pages / t_extract, 1),
+        "metric": "pages_fetched_extracted_per_sec",
+        "value": round(n_crawled / t_crawl, 1),
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("/")[-1],
         "n_pages": n_pages,
         "n_crawled": n_crawled,
+        "extract_only_pages_per_sec": round(n_pages / t_extract, 1),
         "gen_sec": round(t_gen, 3),
         "scaling": scaling,
     }

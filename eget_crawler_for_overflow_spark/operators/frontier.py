@@ -64,6 +64,12 @@ class CrawlConfig:
     include: tuple[str, ...] = ()
     respect_robots: bool = False
     host_budget: int | None = None  # per-generation per-host admission cap
+    # Fetch-join strategy: below this frontier-wave size, the wave is
+    # broadcast against the pages scan (hits) + anti-joined (misses), so the
+    # big table is never shuffled. Above it — or on a real cluster — the
+    # Iceberg answer is bucket(url) on both sides (storage-partitioned
+    # join); the plain shuffle join is the fallback here.
+    broadcast_fetch_threshold: int = 2_000_000
     crawl_delay_window: float | None = None  # logical seconds per generation
     # Priority frontier (north-rule W2): admission order key becomes
     # (depth*w_depth + host_seen_count*w_host, parent_seq, link_pos).
@@ -277,11 +283,26 @@ def run_crawl(
         else:
             eligible = fetchable
 
-        # fetch = equi-join against the pages table; the frontier side is
-        # budget-bounded so Spark broadcasts it against the big scan
-        fetched = eligible.join(
-            pages.select("url", "html"), on="url", how="left"
-        )
+        # fetch = equi-join against the pages table. A naive LEFT join
+        # cannot broadcast the (preserved) frontier side, so Spark would
+        # shuffle the whole pages table EVERY generation — measured ~15s/gen
+        # at sf0.1. Instead: broadcast the wave into an inner join (pages
+        # is only scanned, never shuffled), and recover fetch-misses with
+        # an anti-join against the url column (auto-broadcast at this
+        # scale; bucketed SPJ on a cluster).
+        if n_fetchable <= cfg.broadcast_fetch_threshold:
+            hits = pages.select("url", "html").join(
+                F.broadcast(eligible), on="url", how="inner"
+            )
+            hits = hits.localCheckpoint(eager=True)  # one pages scan/gen
+            missed = eligible.join(
+                F.broadcast(hits.select("url")), on="url", how="left_anti"
+            ).withColumn("html", F.lit(None).cast("binary"))
+            fetched = hits.unionByName(missed)
+        else:
+            fetched = eligible.join(
+                pages.select("url", "html"), on="url", how="left"
+            )
 
         expand = F.col("depth") < F.lit(cfg.max_depth)
         ext = (

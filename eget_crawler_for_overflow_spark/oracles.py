@@ -144,6 +144,17 @@ FROM closure r LEFT JOIN pages_g p ON r.url = p.url GROUP BY 1
 """
 )
 
+# robots fixture: host%4==2 disallows path prefix /p/1 (urllib.robotparser
+# prefix semantics); the other variants never match page urls
+ORACLES["robots_gate"] = f"""
+WITH {PAGES}
+SELECT url,
+  CASE WHEN host % 4 = 2
+       AND url LIKE 'https://host' || host || '.example/p/1%'
+       THEN FALSE ELSE TRUE END AS allowed
+FROM pages_g
+"""
+
 ORACLES["md_clean"] = (
     "SELECT doc_id, '# Title ' || text || '  -x end' AS cleaned FROM documents"
 )

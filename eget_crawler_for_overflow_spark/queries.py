@@ -262,6 +262,41 @@ def q_frontier_status_counts(spark, sf_dir):
     )
 
 
+def robots_rules_df(spark, sf_dir):
+    """Deterministic per-host robots.txt fixture (FIXTURES.md §3):
+    variant = host % 4 → allow-all / disallow-prefix /private/ /
+    disallow-prefix /p/1 / crawl-delay+disallow /nav."""
+    _, n_hosts = pm.sizing(sf_dir)
+    hosts = spark.range(n_hosts).select(
+        F.concat(F.lit("host"), F.col("id"), F.lit(".example")).alias("host"),
+        (F.col("id") % 4).alias("v"),
+    )
+    rules = (
+        F.when(F.col("v") == 1, F.lit("User-agent: *\nDisallow: /private/"))
+        .when(F.col("v") == 2, F.lit("User-agent: *\nDisallow: /p/1"))
+        .when(
+            F.col("v") == 3,
+            F.lit("User-agent: *\nCrawl-delay: 2\nDisallow: /nav"),
+        )
+        .otherwise(F.lit(""))
+    )
+    return hosts.select("host", rules.alias("rules_text"))
+
+
+def q_robots_gate(spark, sf_dir):
+    """F7: robots.txt allow/deny per url via broadcast join + parser UDF."""
+    from .functions.robots import robots_allowed_udf
+
+    p = _pages(spark, sf_dir).select(
+        "url", F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    )
+    robots = robots_rules_df(spark, sf_dir)
+    j = p.join(F.broadcast(robots), on="host", how="left")
+    return j.select(
+        "url", robots_allowed_udf(F.col("url"), F.col("rules_text")).alias("allowed")
+    )
+
+
 def q_politeness_schedule(spark, sf_dir):
     """A4/W2 (rows-only): salted per-host fetch slots over wave-1
     candidates — eligible-vs-deferred split for a 10s logical window with
@@ -500,6 +535,7 @@ QUERIES = {
     "bfs_depth_counts": q_bfs_depth_counts,
     "crawl_stats": q_crawl_stats,
     "frontier_status_counts": q_frontier_status_counts,
+    "robots_gate": q_robots_gate,
     "politeness_schedule": q_politeness_schedule,
     "md_clean": q_md_clean,
     "semantic_chunks": q_semantic_chunks,
