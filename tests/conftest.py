@@ -10,7 +10,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def spark():
     from eget_crawler_for_overflow_spark.session import get_spark
 
-    s = get_spark(master="local[4]", shuffle_partitions=4)
+    s = get_spark(master="local[8]", shuffle_partitions=8)
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
