@@ -30,6 +30,8 @@ snapshots) so a crawl resumes from the last committed generation.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -156,6 +158,13 @@ def run_crawl(
                     extracted_gens.append(ckpt.read(spark, g, "extracted"))
 
     robots_b = F.broadcast(robots) if robots is not None else None
+    trace = os.environ.get("EGET_CRAWL_TIMING") == "1"
+
+    def _t(label: str, t0: float) -> float:
+        now = time.time()
+        if trace:
+            print(f"    [gen {g}] {label}: {now - t0:.2f}s", flush=True)
+        return now
 
     for g in range(g0, cfg.max_generations):
         have_cand = n_cand > 0
@@ -164,6 +173,7 @@ def run_crawl(
             break
 
         # ---------------- admission pipeline (F1/F2/F3/W1/W3) ----------
+        t0 = time.time()
         admitted_g = None
         n_adm = 0
         if have_cand:
@@ -216,12 +226,15 @@ def run_crawl(
                     c = _empty(spark, c.schema)
                 else:
                     c = top_k(c, order_cols, remaining)
+            t0 = _t("admission-plan", t0)
             admitted_g = assign_seq(c, order_cols, start=next_seq).withColumn(
                 "generation", F.lit(g)
             )
+            t0 = _t("assign_seq", t0)
             if use_priority:
                 admitted_g = admitted_g.drop("priority")
             admitted_g = admitted_g.localCheckpoint(eager=True)
+            t0 = _t("admitted-checkpoint", t0)
             # ONE action yields count, bloom hashes, and host stats —
             # admission is budget-bounded so the collect is driver-safe
             stat_rows = admitted_g.select("url_hash", "host").collect()
@@ -229,8 +242,10 @@ def run_crawl(
             next_seq += n_adm
             admitted_count += n_adm
             metrics_rows.append((crawl_id, g, "admitted", float(n_adm)))
+            t0 = _t("stats-collect", t0)
             if n_adm > 0:
                 seen.add(admitted_g, hashes=[r["url_hash"] for r in stat_rows])
+                t0 = _t("seen-add", t0)
                 admitted_gens.append(admitted_g)
                 metrics_rows.append(
                     (
@@ -295,6 +310,7 @@ def run_crawl(
                 F.broadcast(eligible), on="url", how="inner"
             )
             hits = hits.localCheckpoint(eager=True)  # one pages scan/gen
+            t0 = _t("fetch-hits", t0)
             missed = eligible.join(
                 F.broadcast(hits.select("url")), on="url", how="left_anti"
             ).withColumn("html", F.lit(None).cast("binary"))
@@ -349,6 +365,7 @@ def run_crawl(
             )
         )
         ext = ext.localCheckpoint(eager=True)
+        t0 = _t("extract", t0)
         status_counts = {
             r["status"]: r["count"]
             for r in ext.groupBy("status").count().collect()
@@ -374,6 +391,7 @@ def run_crawl(
         )
         cand = cand.localCheckpoint(eager=True)
         n_cand = cand.count()
+        t0 = _t("expand-links", t0)
 
         if ckpt is not None:
             tables = {
