@@ -95,6 +95,20 @@ def lang_id(text_col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def quality_bucket(text_col: Column) -> Column:
+    """2 = wordy + stopword-bearing, 1 = some words, 0 = junk (integer
+    cross-multiplication, bit-exact across engines)."""
+    words = F.split(text_col, r"\s+")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "and", "of", "to", "is", "in")])
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, F.lower(w))))
+    return (
+        F.when((n_words >= 20) & (n_stop * 100 >= n_words * 5), F.lit(2))
+        .when(n_words >= 5, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
 def quality_features(text_col: Column) -> list[Column]:
     words = F.split(text_col, r"\s+")
     stop = F.array(*[F.lit(w) for w in ("the", "a", "and", "of", "to", "is", "in")])
@@ -107,11 +121,7 @@ def quality_features(text_col: Column) -> list[Column]:
         n_words.alias("n_words"),
         n_stop.alias("n_stopwords"),
         n_alpha.alias("n_alpha"),
-        # quality bucket: 2 = wordy+stopword-bearing, 1 = some words, 0 = junk
-        F.when((n_words >= 20) & (n_stop * 100 >= n_words * 5), F.lit(2))
-        .when(n_words >= 5, F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("quality_bucket"),
+        quality_bucket(text_col).alias("quality_bucket"),
     ]
 
 

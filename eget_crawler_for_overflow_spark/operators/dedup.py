@@ -207,6 +207,73 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# connected components over dup pairs → dedup survivors
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """(id_a, id_b) undirected dup edges → (id, component) where component
+    is the min id reachable. Iterative min-label propagation (the classic
+    Pregel-style loop, like GraphX CC): each round is one join + one
+    min-aggregate, converging in O(component diameter) rounds — near-dup
+    clusters are shallow, so this terminates in a few rounds even at
+    corpus scale. Driver only checks the convergence counter."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("new_component"))
+        )
+        joined = labels.join(msgs, on="id", how="left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("new_component"), F.col("component"))
+            ).alias("component"),
+            (F.coalesce(F.col("new_component"), F.col("component"))
+             < F.col("component")).alias("changed"),
+        )
+        joined = joined.localCheckpoint(eager=True)
+        n_changed = joined.filter(F.col("changed")).count()
+        labels = joined.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup component; rows that
+    appear in no dup pair survive untouched. Returns (id, component,
+    is_survivor)."""
+    cc = connected_components(pairs)
+    ids = df.select(F.col(id_col).alias("id"))
+    labeled = ids.join(cc, on="id", how="left").select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
+    )
+    return labeled.withColumn(
+        "is_survivor", F.col("id") == F.col("component")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (32-bit, md5-derived — portable to the DuckDB oracle)
 # ---------------------------------------------------------------------------
 

@@ -209,6 +209,33 @@ ORACLES["chunk_stats"] = (
     "AS total_words FROM chunks GROUP BY 1"
 )
 
+# flagship integration: per-language corpus stats over quality-bucketed
+# chunks — chunk contents come from the closed-form _CHUNKS formulas, the
+# language from the page model, token/quality math mirrored exactly
+_STOP = "['the','a','and','of','to','is','in']"
+ORACLES["training_pipeline"] = (
+    _CHUNKS
+    + f""",
+feats AS (
+  SELECT p.lang AS language, c.type,
+    CAST(len(string_split_regex(trim(c.content), '\\s+')) AS INT) AS ws_tokens,
+    CAST(list_sum([(length(w) + 3) // 4
+          for w in string_split_regex(trim(c.content), '\\s+')]) AS INT) AS bpe_tokens,
+    CAST(CASE WHEN len(string_split_regex(c.content, '\\s+')) >= 20 AND
+         len(list_filter(string_split_regex(c.content, '\\s+'),
+             x -> list_contains({_STOP}, lower(x)))) * 100
+         >= len(string_split_regex(c.content, '\\s+')) * 5 THEN 2
+         WHEN len(string_split_regex(c.content, '\\s+')) >= 5 THEN 1
+         ELSE 0 END AS INT) AS quality_bucket
+  FROM chunks c JOIN pages_g p ON p.url = c.url)
+SELECT language, type, quality_bucket,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens
+FROM feats GROUP BY 1, 2, 3
+"""
+)
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -289,6 +316,40 @@ SELECT p.id_a, p.id_b,
        CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
 FROM pairs p JOIN sigs a ON a.id = p.id_a JOIN sigs b ON b.id = p.id_b
 WHERE bit_count(xor(a.sig, b.sig)) <= 32
+"""
+
+_CORPUS3 = (
+    "corpus3 AS (SELECT doc_id AS id, text FROM documents "
+    "UNION ALL SELECT doc_id + 10000, text || ' extra tail words here' FROM documents "
+    "UNION ALL SELECT doc_id + 20000, text || ' extra tail words here more' FROM documents)"
+)
+_SHINGLES3 = _SHINGLES.replace("FROM corpus2", "FROM corpus3")
+
+# near-dup clusters: MinHash pairs over corpus3, symmetric closure,
+# component = min reachable id via recursive UNION (fixpoint, cycle-safe)
+ORACLES["dedup_components"] = f"""
+WITH RECURSIVE {_CORPUS3}, {_SHINGLES3},
+sig AS (SELECT id, {_SIGS} FROM sh),
+bands AS ({_BANDS}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         WHERE a.id < b.id),
+dup_pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b
+  WHERE len(list_intersect(sa.sh, sb.sh)) * 100
+        >= 60 * len(list_distinct(list_concat(sa.sh, sb.sh)))),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup_pairs
+          UNION SELECT id_b, id_a FROM dup_pairs),
+reach(a, b) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a)
+SELECT c3.id, COALESCE(comp.component, c3.id) AS component,
+       c3.id = COALESCE(comp.component, c3.id) AS is_survivor
+FROM corpus3 c3 LEFT JOIN comp ON comp.id = c3.id
 """
 
 _DOT = (

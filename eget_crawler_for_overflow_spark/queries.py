@@ -370,6 +370,34 @@ def q_sentence_chunks(spark, sf_dir):
     )
 
 
+def q_training_pipeline(spark, sf_dir):
+    """Flagship integration: html → markdown (UDF) → semantic chunks (UDF)
+    → per-chunk quality bucket + token counts (built-ins) → per-language
+    corpus stats. The shape of a real 100 TB training-data prep job, end
+    to end, oracle-checked."""
+    p = _pages(spark, sf_dir)
+    md = p.select(
+        "url",
+        language_udf(F.col("html")).alias("language"),
+        markdown_udf(F.col("html")).alias("markdown"),
+    )
+    ch = chunks_table(md).join(md.select("url", "language"), on="url")
+    from .functions.text import quality_bucket
+
+    feats = ch.select(
+        "language",
+        "type",
+        whitespace_token_count(F.col("content")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("content")).alias("bpe_tokens"),
+        quality_bucket(F.col("content")).alias("quality_bucket"),
+    )
+    return feats.groupBy("language", "type", "quality_bucket").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+    )
+
+
 def q_chunk_stats(spark, sf_dir):
     """A3: chunk count + word-count aggregate by chunk type."""
     p = _pages(spark, sf_dir)
@@ -423,6 +451,29 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(d, ids, max_hamming=32).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clustering end-to-end: MinHash-LSH pairs → connected
+    components (transitive closure) → one survivor per cluster. Two
+    perturbed copies per doc make components of size 3 (tests
+    transitivity, not just pairing)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    c3 = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail words here")).alias("text"),
+        )
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail words here more")).alias(
+                "text"
+            ),
+        )
+    )
+    pairs = dedup.minhash_dedup(c3, threshold_pct=60).select("id_a", "id_b")
+    return dedup.dedup_survivors(c3, pairs)
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -542,10 +593,12 @@ QUERIES = {
     "chunk_positions": q_chunk_positions,
     "sentence_chunks": q_sentence_chunks,
     "chunk_stats": q_chunk_stats,
+    "training_pipeline": q_training_pipeline,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_components": q_dedup_components,
     "dedup_embedding": q_dedup_embedding,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
