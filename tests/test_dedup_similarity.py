@@ -88,3 +88,27 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf01):
     # whatever it returns must be a plausible neighbor set (sanity: overlap
     # with brute-force nonzero at 4 bits / 16 buckets over 500 vecs)
     assert approx and len(approx & brute) > 0
+
+
+def test_connected_components_chain_and_cycle(spark):
+    from eget_crawler_for_overflow_spark.operators.dedup import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    # chain 1-2-3-4, cycle 10-11-12-10, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "id_a long, id_b long",
+    )
+    cc = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 4, 10, 11, 12, 20, 21, 99)],
+        "doc_id long, text string",
+    )
+    surv = {
+        r["id"]: r["is_survivor"] for r in dedup_survivors(docs, pairs).collect()
+    }
+    assert [k for k, v in sorted(surv.items()) if v] == [1, 10, 20, 99]
