@@ -184,3 +184,33 @@ def test_extracted_markdown_byte_identical_to_pages(spark, pages):
     n_bad = joined.filter(F.col("markdown") != F.col("text")).count()
     assert n_bad == 0
     assert joined.count() > 10
+
+
+def test_grouped_scheduler_equals_window_scheduler(spark, pages):
+    from eget_crawler_for_overflow_spark.operators.politeness import (
+        salted_fetch_schedule,
+        salted_fetch_schedule_grouped,
+    )
+
+    cand = (
+        pages.limit(200)
+        .select(
+            "url",
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            F.xxhash64("url").alias("seq"),
+        )
+        .withColumn("crawl_delay", F.lit(2.0))
+    )
+    a = {
+        (r["url"], r["fetch_time"])
+        for r in salted_fetch_schedule(
+            cand, order_cols=["seq", "url"], n_salts=4
+        ).collect()
+    }
+    b = {
+        (r["url"], r["fetch_time"])
+        for r in salted_fetch_schedule_grouped(
+            cand, order_cols=["seq", "url"], n_salts=4
+        ).collect()
+    }
+    assert a == b
