@@ -77,6 +77,118 @@ def default_anchors(corpus: DataFrame, b: int = 8, vec_col: str = "embedding",
     return [list(r[0]) for r in rows]
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer:
+    centroids init from the first k corpus vectors (no RNG — plans and
+    tests replay identically), then ``iters`` rounds of
+    assign (broadcast centroids, argmin cosine distance) → groupBy mean.
+    Each round is one shuffle of (cell, vec) — linear scans, no cross
+    join materialization."""
+    cents = default_anchors(corpus, b=k, vec_col=vec_col, id_col=id_col)
+    vecs = corpus.select(F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        assigned = vecs.withColumn(
+            "cell", _nearest_cell(F.col("v"), cents)
+        )
+        dim = len(cents[0])
+        agg = assigned.groupBy("cell").agg(
+            *[
+                F.avg(F.element_at(F.col("v"), i + 1).cast("double")).alias(
+                    f"c{i}"
+                )
+                for i in range(dim)
+            ]
+        )
+        got = {
+            int(r["cell"]): [float(r[f"c{i}"]) for i in range(dim)]
+            for r in agg.collect()
+        }
+        cents = [got.get(j, cents[j]) for j in range(k)]  # keep empty cells
+    return cents
+
+
+def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over centroids of negative cosine (ties → lowest cell id)."""
+    scored = [
+        F.struct(
+            (-cosine_sim(
+                vec,
+                F.array(*[F.lit(float(x)) for x in c]).cast("array<double>"),
+            )).alias("d"),
+            F.lit(j).alias("cell"),
+        )
+        for j, c in enumerate(centroids)
+    ]
+    best = F.aggregate(
+        F.array(*scored),
+        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("cell")),
+        lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+    )
+    return best["cell"]
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF: corpus vectors live in their nearest-centroid cell; each query
+    probes its ``nprobe`` closest cells and ranks only those candidates.
+    The scale path when LSH signature buckets are too coarse: candidate
+    count ≈ corpus * nprobe / n_cells per query, tunable recall/cost."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _nearest_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    probe_cells = [
+        F.struct(
+            (-cosine_sim(
+                F.col("qv"),
+                F.array(*[F.lit(float(x)) for x in cent]).cast("array<double>"),
+            )).alias("d"),
+            F.lit(j).alias("cell"),
+        )
+        for j, cent in enumerate(centroids)
+    ]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.slice(
+                F.array_sort(F.array(*probe_cells)).getField("cell"),
+                1,
+                nprobe,
+            )
+        ),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_sim(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -506,6 +506,16 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh(e, qs, anchors, k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (rows-only): deterministic k-means coarse quantizer,
+    nprobe=2 — the scale path beyond LSH buckets. Recall vs brute force is
+    pinned in pytest."""
+    e = _emb(spark, sf_dir)
+    cents = similarity.kmeans_centroids(e, k=8, iters=3)
+    qs = e.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ann_ivf(e, qs, cents, k=5, nprobe=2)
+
+
 def q_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", lang_id(F.col("text")).alias("lang_pred")
@@ -602,6 +612,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "token_count": q_token_count,

@@ -112,3 +112,28 @@ def test_connected_components_chain_and_cycle(spark):
         r["id"]: r["is_survivor"] for r in dedup_survivors(docs, pairs).collect()
     }
     assert [k for k, v in sorted(surv.items()) if v] == [1, 10, 20, 99]
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf01):
+    emb = spark.read.parquet(f"{sf01}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_bruteforce(emb, qs, k=5).collect()
+    }
+    cents = similarity.kmeans_centroids(emb, k=8, iters=3)
+    assert len(cents) == 8
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf(emb, qs, cents, k=5, nprobe=2).collect()
+    }
+    # every query must return k results, and probing 2/8 cells should
+    # recover a solid fraction of the true neighbors
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.4, recall
+    # determinism: identical second run
+    ivf2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf(emb, qs, cents, k=5, nprobe=2).collect()
+    }
+    assert ivf == ivf2
