@@ -214,3 +214,22 @@ def test_grouped_scheduler_equals_window_scheduler(spark, pages):
         ).collect()
     }
     assert a == b
+
+
+def test_combined_config_matches_reference(spark, pages):
+    """Everything at once: robots + exclude pattern + budget + depth —
+    the admitted sequence must still equal the reference loop's."""
+    robots_df = spark.createDataFrame(
+        list(ROBOTS.items()), "host string, rules_text string"
+    )
+    exclude = (r"/p/\d*7$",)
+    cfg = CrawlConfig(
+        max_depth=5, max_pages=25, respect_robots=True, exclude=exclude
+    )
+    _, got = run_and_order(spark, pages, seeds_host0(), cfg, robots=robots_df)
+    assert got == expect(
+        seeds_host0(),
+        make_links_of(exclude=exclude, robots_rules=ROBOTS),
+        5,
+        25,
+    )
