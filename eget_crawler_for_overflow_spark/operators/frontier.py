@@ -140,6 +140,8 @@ def run_crawl(
             state = ckpt.state(last)
             next_seq = state["next_seq"]
             admitted_count = state["admitted_count"]
+            # Prometheus-style metric rows survive the restart too
+            metrics_rows = [tuple(m) for m in state.get("metrics", [])]
             g0 = last + 1
             seen.add(ckpt.read(spark, last, "seen"))
             cand = (
@@ -271,7 +273,11 @@ def run_crawl(
                 ckpt.commit(
                     g,
                     {"seen": seen.df, "next_candidates": cand},
-                    {"next_seq": next_seq, "admitted_count": admitted_count},
+                    {
+                        "next_seq": next_seq,
+                        "admitted_count": admitted_count,
+                        "metrics": metrics_rows,
+                    },
                 )
             continue
 
@@ -406,7 +412,11 @@ def run_crawl(
             ckpt.commit(
                 g,
                 tables,
-                {"next_seq": next_seq, "admitted_count": admitted_count},
+                {
+                    "next_seq": next_seq,
+                    "admitted_count": admitted_count,
+                    "metrics": metrics_rows,
+                },
             )
 
     admitted = (

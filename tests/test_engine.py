@@ -233,3 +233,57 @@ def test_combined_config_matches_reference(spark, pages):
         5,
         25,
     )
+
+
+def test_resume_with_politeness_deferred(spark, pages, tmp_path):
+    """Kill mid-crawl while fetches are deferred; the resumed crawl must
+    land on the same admitted set and extract everything eventually, with
+    metrics rows surviving the restart."""
+    robots_df = spark.createDataFrame(
+        list(ROBOTS.items()), "host string, rules_text string"
+    )
+
+    def mk(max_gens):
+        return CrawlConfig(
+            max_depth=3,
+            max_pages=None,
+            respect_robots=True,
+            crawl_delay_window=8.0,
+            n_salts=2,
+            max_generations=max_gens,
+        )
+
+    uninterrupted = run_crawl(
+        spark, pages, seeds_host0(), mk(64), robots=robots_df
+    )
+    want = sorted((r["url"], r["depth"]) for r in uninterrupted.admitted.collect())
+    want_extracted = uninterrupted.extracted.filter(
+        F.col("status") == "extracted"
+    ).count()
+
+    ck = str(tmp_path / "ckpt_polite")
+    partial = run_crawl(
+        spark, pages, seeds_host0(), mk(3), robots=robots_df, checkpoint_dir=ck
+    )
+    assert partial.generations == 3  # stopped early, deferred rows pending
+    resumed = run_crawl(
+        spark,
+        pages,
+        seeds_host0(),
+        mk(64),
+        robots=robots_df,
+        checkpoint_dir=ck,
+        resume=True,
+    )
+    got = sorted((r["url"], r["depth"]) for r in resumed.admitted.collect())
+    assert got == want
+    assert (
+        resumed.extracted.filter(F.col("status") == "extracted").count()
+        == want_extracted
+    )
+    # metrics from pre-restart generations are still present
+    gens_in_metrics = {
+        r["generation"]
+        for r in resumed.metrics.filter(F.col("name") == "admitted").collect()
+    }
+    assert 0 in gens_in_metrics and 1 in gens_in_metrics
