@@ -324,6 +324,7 @@ def _extract_from_root(root: Node, only_main: bool = True) -> dict:
         "title": metadata.get("title", ""),
         "description": metadata.get("description", ""),
         "language": structured["metaData"]["language"],
+        "metadata": metadata,  # full T4 mapping (author/keywords/image/...)
         "open_graph": structured["openGraph"],
         "twitter_card": structured["twitterCard"],
         "meta_data": structured["metaData"],
@@ -343,6 +344,7 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("title", T.StringType()),
         T.StructField("description", T.StringType()),
         T.StructField("language", T.StringType()),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
         T.StructField("open_graph", T.MapType(T.StringType(), T.StringType())),
         T.StructField("twitter_card", T.MapType(T.StringType(), T.StringType())),
         T.StructField("meta_data", T.MapType(T.StringType(), T.StringType())),
@@ -369,6 +371,7 @@ def extract_page_udf(html: pd.Series) -> pd.DataFrame:
             "title": [r["title"] for r in rows],
             "description": [r["description"] for r in rows],
             "language": [r["language"] for r in rows],
+            "metadata": [r["metadata"] for r in rows],
             "open_graph": [r["open_graph"] for r in rows],
             "twitter_card": [r["twitter_card"] for r in rows],
             "meta_data": [r["meta_data"] for r in rows],
@@ -429,6 +432,7 @@ def make_extract_bundle_udf(
 
 _FIELD_KEYS = {
     "markdown": "markdown",
+    "metadata": "metadata",
     "title": "title",
     "description": "description",
     "language": "language",

@@ -363,6 +363,7 @@ def run_crawl(
                 F.col("e.title").alias("title"),
                 F.col("e.description").alias("description"),
                 F.col("e.language").alias("language"),
+                F.col("e.metadata").alias("metadata"),
                 F.col("e.open_graph").alias("open_graph"),
                 F.col("e.twitter_card").alias("twitter_card"),
                 F.col("e.meta_data").alias("meta_data"),

@@ -56,6 +56,18 @@ SELECT url,
 FROM pages_g
 """
 
+ORACLES["metadata_extract"] = f"""
+WITH {PAGES}
+SELECT url,
+  CASE WHEN i % 7 = 0 THEN 'Author ' || (i % 5) ELSE '' END AS author,
+  CASE WHEN i % 7 = 0 THEN 'alpha,beta' ELSE '' END AS keywords,
+  CASE WHEN i % 7 = 0 THEN '2025-01-0' || (i % 9 + 1) ELSE '' END AS published_date,
+  CASE WHEN i % 7 = 3 THEN 'https://img/' || i || '.png' ELSE '' END AS image,
+  CASE WHEN i % 8 = 0 THEN 'summary' ELSE '' END AS tw_card,
+  CASE WHEN i % 8 = 0 THEN 'TW Doc ' || i ELSE '' END AS tw_title
+FROM pages_g
+"""
+
 ORACLES["link_explode"] = (
     f"WITH {PAGES}, {LINKS} SELECT src_url AS url, dst_url AS link FROM links_g"
 )

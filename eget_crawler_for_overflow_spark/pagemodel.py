@@ -184,6 +184,18 @@ def page_html(i: int, doc_text: str, doc_lang: str, n_pages: int, n_hosts: int) 
         )
     elif i % 6 == 3:  # invalid JSON-LD: parse failure is skipped, not fatal
         metas.append('<script type="application/ld+json">{oops</script>')
+    if i % 7 == 0:  # remaining T4 meta-mapping branches (scraper.py:135-152)
+        metas.append(f'<meta name="author" content="Author {i % 5}">')
+        metas.append('<meta name="keywords" content="alpha,beta">')
+        metas.append(
+            '<meta property="article:published_time" '
+            f'content="2025-01-0{i % 9 + 1}">'
+        )
+    if i % 7 == 3:
+        metas.append(f'<meta property="og:image" content="https://img/{i}.png">')
+    if i % 8 == 0:  # TwitterCard branch (structured_data.py:71-81)
+        metas.append('<meta name="twitter:card" content="summary">')
+        metas.append(f'<meta name="twitter:title" content="TW Doc {i}">')
     if m == 1:
         metas.append(f'<meta http-equiv="content-language" content="{doc_lang}">')
     elif m == 2:

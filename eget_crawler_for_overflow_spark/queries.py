@@ -116,6 +116,26 @@ def q_structured_og(spark, sf_dir):
     )
 
 
+def q_metadata_extract(spark, sf_dir):
+    """T4 full mapping + T10 TwitterCard: author/keywords/published_date/
+    og:image through the prioritized meta mappings (scraper.py:135-152)."""
+    p = _pages(spark, sf_dir)
+    e = p.select("url", extract_page_udf(F.col("html")).alias("e"))
+
+    def m(field):
+        return F.coalesce(F.col("e.metadata")[field], F.lit(""))
+
+    return e.select(
+        "url",
+        m("author").alias("author"),
+        m("keywords").alias("keywords"),
+        m("published_date").alias("published_date"),
+        m("image").alias("image"),
+        F.coalesce(F.col("e.twitter_card")["card"], F.lit("")).alias("tw_card"),
+        F.coalesce(F.col("e.twitter_card")["title"], F.lit("")).alias("tw_title"),
+    )
+
+
 def q_link_explode(spark, sf_dir):
     """T3+T1: real HTML link extraction, normalized + same-domain filtered."""
     link_udf = make_link_udf()  # per-page base domain
@@ -581,6 +601,7 @@ QUERIES = {
     "lang_extract": q_lang_extract,
     "title_extract": q_title_extract,
     "structured_og": q_structured_og,
+    "metadata_extract": q_metadata_extract,
     "link_explode": q_link_explode,
     "url_normalize": q_url_normalize,
     "host_groups": q_host_groups,
