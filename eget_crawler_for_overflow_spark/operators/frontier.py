@@ -269,6 +269,7 @@ def run_crawl(
         n_deferred = 0
         if fetchable is None or n_fetchable == 0:
             cand = _empty(spark, CAND_SCHEMA)
+            n_cand = 0  # nothing admitted and nothing deferred → loop ends
             if ckpt is not None:
                 ckpt.commit(
                     g,
