@@ -77,9 +77,13 @@ def load_pages(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFram
         os.makedirs(_CACHE_ROOT, exist_ok=True)
         tmp = path + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        # many small-ish files so scan parallelism saturates the cores even
-        # though the whole corpus is only a few hundred MB
-        n_files = max(spark.sparkContext.defaultParallelism * 2, 16)
+        # FIXED file count, independent of which session builds the cache:
+        # the bench scaling runs read this same layout at several local[N]
+        # levels, so the layout must not depend on the builder's parallelism
+        # (a local[4]-built 16-file cache gave local[16] zero straggler
+        # headroom in round 1). 64 files x ~13 MB also splits well under
+        # maxPartitionBytes for every N used anywhere.
+        n_files = 64
         # uncompressed: snappy decode serializes badly under 32-way UDF
         # contention (measured 3× slower full-corpus extraction); scratch
         # fixture data trades disk for scan parallelism
