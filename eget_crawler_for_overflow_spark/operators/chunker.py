@@ -205,31 +205,69 @@ def chunks_table(df, md_col: str = "markdown", url_col: str = "url"):
     )
 
 
-def sentence_chunks(text: str, chunk_size: int = 512, overlap: int = 50) -> list[dict]:
-    """Sentence chunker in the spirit of the reference's Chonkie
-    ``SentenceChunker(chunk_size=512, overlap=50)`` (chunk_service.py:20-24;
-    the library is unavailable here, so this is a from-scratch equivalent):
-    greedy sentence packing by token count with token overlap."""
+def sentence_chunks(
+    text: str,
+    chunk_size: int = 512,
+    overlap: int = 50,
+    min_chars: int = 12,
+) -> list[dict]:
+    """Sentence chunker with the PINNED contract mirroring the reference's
+    Chonkie ``SentenceChunker(chunk_size, chunk_overlap, min_sentences_per_
+    chunk=1, min_characters_per_sentence=12)`` (chunk_service.py:96-143;
+    the library is absent from this container, so this closed-form contract
+    is the testable spec — every rule below is mirrored 1:1 by the DuckDB
+    oracle in oracles.py):
+
+    1. split into sentence pieces after every ``[.!?]`` + whitespace run;
+    2. min-chars pass: pieces accumulate forward until the joined unit is
+       ≥ ``min_chars`` characters (a trailing short unit stands alone);
+    3. tokens = whitespace word count;
+    4. greedy pack: a chunk takes units while total tokens ≤ ``chunk_size``
+       (always ≥ 1 unit);
+    5. sentence-level overlap: the next chunk starts at the earliest unit
+       of the previous chunk's suffix whose token sum ≤ ``overlap`` (never
+       the whole chunk — progress is guaranteed); no qualifying suffix
+       → no overlap.
+    """
     if not text:
         return []
-    sentences = [s for s in re.split(r"(?<=[.!?])\s+", text) if s.strip()]
-    out: list[dict] = []
+    pieces = [s for s in re.split(r"(?<=[.!?])\s+", text) if s.strip()]
+    units: list[str] = []
     cur: list[str] = []
-    cur_tokens = 0
-    for s in sentences:
-        n = len(s.split())
-        if cur and cur_tokens + n > chunk_size:
-            content = " ".join(cur)
-            out.append({"content": content, "token_count": cur_tokens})
-            tail = content.split()[-overlap:] if overlap else []
-            cur = [" ".join(tail)] if tail else []
-            cur_tokens = len(tail)
+    for s in pieces:
         cur.append(s)
-        cur_tokens += n
+        if len(" ".join(cur)) >= min_chars:
+            units.append(" ".join(cur))
+            cur = []
     if cur:
-        out.append({"content": " ".join(cur), "token_count": cur_tokens})
-    for i, c in enumerate(out):
-        c["position"] = i
+        units.append(" ".join(cur))
+    if not units:
+        return []
+    toks = [len(u.split()) for u in units]
+
+    out: list[dict] = []
+    s = 0
+    n = len(units)
+    while s < n:
+        e, total = s, toks[s]
+        while e + 1 < n and total + toks[e + 1] <= chunk_size:
+            e += 1
+            total += toks[e]
+        out.append(
+            {
+                "content": " ".join(units[s : e + 1]),
+                "token_count": total,
+                "position": len(out),
+            }
+        )
+        if e + 1 >= n:
+            break
+        s2, osum, j = e + 1, 0, e
+        while j > s and osum + toks[j] <= overlap:
+            osum += toks[j]
+            s2 = j
+            j -= 1
+        s = s2
     return out
 
 
@@ -245,6 +283,21 @@ SENTENCE_CHUNK_STRUCT = T.StructType(
 @F.pandas_udf(T.ArrayType(SENTENCE_CHUNK_STRUCT))
 def sentence_chunk_udf(md: pd.Series) -> pd.Series:
     return pd.Series([sentence_chunks(m) for m in md])
+
+
+def make_sentence_chunk_udf(
+    chunk_size: int = 512, overlap: int = 50, min_chars: int = 12
+):
+    """Parametrized variant (request.max_chunk_size / chunk_overlap knobs,
+    chunk_service.py:101-106)."""
+
+    @F.pandas_udf(T.ArrayType(SENTENCE_CHUNK_STRUCT))
+    def udf(md: pd.Series) -> pd.Series:
+        return pd.Series(
+            [sentence_chunks(m, chunk_size, overlap, min_chars) for m in md]
+        )
+
+    return udf
 
 
 def chunk_dispatch(md_col: Column, chunker_type: str = "semantic") -> Column:

@@ -37,8 +37,16 @@ def salted_fetch_schedule(
     url_col: str = "url",
     n_salts: int = 8,
     time_col: str = "fetch_time",
+    salt_expr: Column | None = None,
 ) -> DataFrame:
-    salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts))
+    """``salt_expr`` overrides the default xxhash64 salt (any deterministic
+    int in [0, n_salts) — e.g. an md5-derived salt that a SQL oracle can
+    mirror; xxhash64 is Spark-only)."""
+    salt = (
+        salt_expr
+        if salt_expr is not None
+        else F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts))
+    )
     w = Window.partitionBy(F.col(host_col), salt).orderBy(
         *[F.col(c) for c in order_cols]
     )

@@ -142,6 +142,75 @@ closure AS (SELECT url, MIN(depth) AS depth FROM reach GROUP BY url)
 
 ORACLES["bfs_reach"] = _BFS_REACH + "SELECT url, CAST(depth AS INT) AS depth FROM closure"
 
+# ---------------------------------------------------------------------------
+# bfs_order: the reference's FIFO admission order, closed form. Key insight:
+# enqueue order == lexicographic order of (depth, path), where a url's path
+# is the link-position trail through its first-wins parent chain (seeds:
+# [seed_idx]; child: parent_path ++ [link_pos]). The minimal path at the
+# minimal depth IS the admission identity — the all-paths closure + MIN()
+# reproduces the simulator's order exactly (validated row-for-row vs
+# tests/reference_sim.py). link positions mirror expected_links()'s
+# first-occurrence order (pagemodel.py:139-164).
+# ---------------------------------------------------------------------------
+
+_LP_C = pm.ducksql_child("p.i", "g.k", N_PAGES)
+_LP_C0 = pm.ducksql_child("p.i", "0", N_PAGES)
+_LP_C1 = pm.ducksql_child("p.i", "1", N_PAGES)
+_SEED_VALUES = "(VALUES (0, 0), (2, 1), (4, 2), (5, 3), (7, 4))"
+
+_BFS_ORDER_CTES = f"""
+WITH RECURSIVE {PAGES},
+cand_links AS (
+  SELECT p.url AS src_url, 0 AS ord,
+         'https://host' || p.host || '.example/nav' AS dst FROM pages_g p
+  UNION ALL
+  SELECT p.url, 1 + g.k, {pm.ducksql_url(_LP_C, N_HOSTS)}
+  FROM pages_g p, generate_series(0, 3) g(k)
+  WHERE g.k < 2 + p.i % 3 AND {pm.ducksql_host(_LP_C, N_HOSTS)} = p.host
+  UNION ALL SELECT url, 10, url FROM pages_g
+  UNION ALL SELECT p.url, 11, {pm.ducksql_url(_LP_C0, N_HOSTS)}
+  FROM pages_g p WHERE {pm.ducksql_host(_LP_C0, N_HOSTS)} = p.host
+  UNION ALL SELECT p.url, 12,
+         'https://host' || p.host || '.example/p/' || {_LP_C1} FROM pages_g p
+),
+links_pos AS (
+  SELECT src_url, dst,
+         CAST(row_number() OVER (PARTITION BY src_url ORDER BY mo) - 1
+              AS BIGINT) AS pos
+  FROM (SELECT src_url, dst, MIN(ord) AS mo FROM cand_links GROUP BY 1, 2)
+),
+reach_p(url, depth, path) AS (
+  SELECT p.url, 0, [CAST(s.j AS BIGINT)]
+  FROM pages_g p JOIN {_SEED_VALUES} s(i, j) ON p.i = s.i
+  UNION
+  SELECT lp.dst, r.depth + 1, list_append(r.path, lp.pos)
+  FROM reach_p r JOIN links_pos lp ON lp.src_url = r.url
+  WHERE r.depth < {CRAWL_DEPTH}
+),
+best AS (SELECT url, MIN(depth) AS d FROM reach_p GROUP BY 1),
+fp AS (SELECT r.url, r.depth, MIN(r.path) AS path
+       FROM reach_p r JOIN best b ON b.url = r.url AND b.d = r.depth
+       GROUP BY 1, 2)
+"""
+
+ORACLES["bfs_order"] = (
+    _BFS_ORDER_CTES
+    + """
+SELECT url, CAST(depth AS INT) AS depth,
+       CAST(row_number() OVER (ORDER BY depth, path) - 1 AS BIGINT)
+       AS enqueue_seq
+FROM fp
+"""
+)
+
+# per-generation admitted counts: with no budget/politeness the engine's
+# generation == BFS depth, so the metric rows are the per-depth counts
+ORACLES["frontier_status_counts"] = (
+    _BFS_REACH
+    + "SELECT CAST(depth AS INT) AS generation, COUNT(*) AS n_admitted "
+    "FROM closure GROUP BY 1"
+)
+
 ORACLES["bfs_depth_counts"] = (
     _BFS_REACH
     + "SELECT CAST(depth AS INT) AS depth, COUNT(*) AS n_urls FROM closure GROUP BY 1"
@@ -170,6 +239,28 @@ FROM pages_g
 ORACLES["md_clean"] = (
     "SELECT doc_id, '# Title ' || text || '  -x end' AS cleaned FROM documents"
 )
+
+# salted politeness slots: salt = md5-derived (mirrors the query's
+# salt_expr); fetch_time = ((rank_within(host,salt) - 1) * n_salts + salt)
+# * crawl_delay (politeness.py:16-20), window 10s, delay 2s, n_salts 4
+ORACLES["politeness_schedule"] = f"""
+WITH {PAGES}, {LINKS},
+cand AS (
+  SELECT p.i AS seq, l.dst_url AS url,
+         regexp_extract(l.dst_url, 'https://([^/]+)/', 1) AS host,
+         ('0x' || substr(md5(l.dst_url), 1, 2))::BIGINT % 4 AS salt
+  FROM links_g l JOIN pages_g p ON l.src_url = p.url
+  WHERE p.i % 97 = 0),
+sched AS (
+  SELECT host,
+    ((ROW_NUMBER() OVER (PARTITION BY host, salt ORDER BY seq, url) - 1)
+      * 4 + salt) * 2.0 AS fetch_time
+  FROM cand)
+SELECT host,
+  SUM(CASE WHEN fetch_time < 10.0 THEN 1 ELSE 0 END) AS n_eligible,
+  SUM(CASE WHEN fetch_time >= 10.0 THEN 1 ELSE 0 END) AS n_deferred
+FROM sched GROUP BY 1
+"""
 
 # ---------------------------------------------------------------------------
 # chunking
@@ -416,6 +507,116 @@ r AS (SELECT query_id, neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       FROM scored)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+"""
+
+# IVF ANN with the sampled coarse quantizer (first-8 corpus vectors):
+# corpus cell = argmin over centroids of -cosine (ties -> lowest cell id,
+# similarity.py:_nearest_cell); each query probes its 2 nearest cells
+ORACLES["ann_ivf"] = f"""
+WITH cents AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+               WHERE vec_id < 8),
+cd AS (SELECT v.vec_id, c.cell, {_cos("v.embedding", "c.cv")} AS cos
+       FROM embeddings v, cents c),
+assigned AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+  FROM cd) WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+  FROM cd WHERE vec_id % 50 = 0) WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_cos("q.embedding", "n.embedding")} AS cos
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings n ON n.vec_id = a.vec_id
+  WHERE p.query_id != a.vec_id),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# sentence chunker (C2): closed-form replay of the pinned contract
+# (chunker.py:sentence_chunks) over the deterministically sentence-
+# structured texts built by queries.q_sentence_chunks. Three stages:
+# sentence synthesis (length cycle 1,9,2,7,11,3,8), min-chars(12) forward
+# merge (recursive chain over precomputed merge ends), greedy pack to 24
+# tokens with sentence-level overlap <= 8 (recursive chain over
+# precomputed pack ends / next starts).
+# ---------------------------------------------------------------------------
+
+_SC_SIZE, _SC_OVERLAP, _SC_MINCH = 24, 8, 12
+
+ORACLES["sentence_chunks"] = f"""
+WITH RECURSIVE
+wds AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+               len(string_split_regex(trim(text), '\\s+')) AS n
+        FROM documents),
+sents AS (
+  SELECT doc_id, k, array_to_string(w[off_ + 1 : off_ + l_], ' ') || '.' AS s
+  FROM (SELECT doc_id, w, n, g.k,
+          (g.k // 7) * 41 + ([0,1,10,12,19,30,33])[g.k % 7 + 1] AS off_,
+          ([1,9,2,7,11,3,8])[g.k % 7 + 1] AS l_
+        FROM wds, generate_series(0, 31) g(k))
+  WHERE off_ < n),
+sl AS (SELECT doc_id, s, length(s) AS c,
+              CAST(len(string_split_regex(s, '\\s+')) AS BIGINT) AS tk,
+              SUM(length(s)) OVER (PARTITION BY doc_id ORDER BY k) AS cc,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k) AS idx,
+              COUNT(*) OVER (PARTITION BY doc_id) AS ns
+       FROM sents),
+mend AS (
+  SELECT a.doc_id, a.idx AS s, a.ns,
+    COALESCE((SELECT MIN(b.idx) FROM sl b WHERE b.doc_id = a.doc_id
+              AND b.idx >= a.idx
+              AND b.cc - (a.cc - a.c) + (b.idx - a.idx) >= {_SC_MINCH}),
+             a.ns) AS e
+  FROM sl a),
+mchain(doc_id, uno, s) AS (
+  SELECT doc_id, 0, 1 FROM (SELECT DISTINCT doc_id FROM sl)
+  UNION ALL
+  SELECT m.doc_id, m.uno + 1, me.e + 1
+  FROM mchain m JOIN mend me ON me.doc_id = m.doc_id AND me.s = m.s
+  WHERE me.e < me.ns),
+units AS (
+  SELECT u.doc_id, u.uno + 1 AS idx, u.content, u.toks,
+         SUM(u.toks) OVER (PARTITION BY u.doc_id ORDER BY u.uno) AS t,
+         COUNT(*) OVER (PARTITION BY u.doc_id) AS nu
+  FROM (
+    SELECT mc.doc_id, mc.uno,
+      (SELECT string_agg(b.s, ' ' ORDER BY b.idx) FROM sl b
+        WHERE b.doc_id = mc.doc_id AND b.idx BETWEEN mc.s AND me.e) AS content,
+      (SELECT SUM(b.tk) FROM sl b
+        WHERE b.doc_id = mc.doc_id AND b.idx BETWEEN mc.s AND me.e) AS toks
+    FROM mchain mc JOIN mend me ON me.doc_id = mc.doc_id AND me.s = mc.s) u),
+pend AS (
+  SELECT a.doc_id, a.idx AS s, a.nu, (a.t - a.toks) AS base,
+    COALESCE((SELECT MAX(b.idx) FROM units b WHERE b.doc_id = a.doc_id
+              AND b.idx >= a.idx AND b.t - (a.t - a.toks) <= {_SC_SIZE}),
+             a.idx) AS e
+  FROM units a),
+pnext AS (
+  SELECT pe.doc_id, pe.s, pe.e, pe.nu, pe.base, eu.t AS te,
+    COALESCE((SELECT MIN(j.idx) FROM units j WHERE j.doc_id = pe.doc_id
+              AND j.idx > pe.s AND j.idx <= pe.e
+              AND eu.t - (j.t - j.toks) <= {_SC_OVERLAP}), pe.e + 1) AS s2
+  FROM pend pe JOIN units eu ON eu.doc_id = pe.doc_id AND eu.idx = pe.e),
+pchain(doc_id, pos, s) AS (
+  SELECT doc_id, 0, 1 FROM (SELECT DISTINCT doc_id FROM units)
+  UNION ALL
+  SELECT p.doc_id, p.pos + 1, pn.s2
+  FROM pchain p JOIN pnext pn ON pn.doc_id = p.doc_id AND pn.s = p.s
+  WHERE pn.e < pn.nu)
+SELECT p.doc_id, CAST(p.pos AS INT) AS position,
+       CAST(pn.te - pn.base AS INT) AS token_count,
+       (SELECT string_agg(c.content, ' ' ORDER BY c.idx) FROM units c
+         WHERE c.doc_id = p.doc_id AND c.idx BETWEEN p.s AND pn.e) AS content
+FROM pchain p JOIN pnext pn ON pn.doc_id = p.doc_id AND pn.s = p.s
 """
 
 # ---------------------------------------------------------------------------

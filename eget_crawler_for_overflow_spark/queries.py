@@ -318,9 +318,11 @@ def q_robots_gate(spark, sf_dir):
 
 
 def q_politeness_schedule(spark, sf_dir):
-    """A4/W2 (rows-only): salted per-host fetch slots over wave-1
-    candidates — eligible-vs-deferred split for a 10s logical window with
-    crawl-delay 2s on every host."""
+    """A4/W2: salted per-host fetch slots over wave-1 candidates —
+    eligible-vs-deferred split for a 10s logical window with crawl-delay 2s
+    on every host. Salt = md5-derived (SQL-expressible) so the DuckDB
+    oracle replays the slot formula exactly; the engine default stays
+    xxhash64 (politeness.py salt_expr)."""
     from .operators.politeness import salted_fetch_schedule
 
     link_udf = make_link_udf()
@@ -336,7 +338,13 @@ def q_politeness_schedule(spark, sf_dir):
         .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
         .withColumn("crawl_delay", F.lit(2.0))
     )
-    sched = salted_fetch_schedule(cand, order_cols=["seq", "url"], n_salts=4)
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col("url")), 1, 2), 16, 10).cast("long"),
+        F.lit(4),
+    )
+    sched = salted_fetch_schedule(
+        cand, order_cols=["seq", "url"], n_salts=4, salt_expr=salt
+    )
     return sched.groupBy("host").agg(
         F.sum(F.when(F.col("fetch_time") < 10.0, 1).otherwise(0)).alias(
             "n_eligible"
@@ -374,19 +382,47 @@ def q_chunk_positions(spark, sf_dir):
     return chunks_table(md).select("url", "position", "chunk_id")
 
 
+# sentence-structure synthesis for the C2 contract: document texts carry no
+# punctuation, so both engines derive identical sentences — lengths cycle
+# through SENT_LENS so short pieces exercise the min-chars merge and the
+# small chunk_size/overlap exercise packing + sentence-level overlap
+SENT_LENS = (1, 9, 2, 7, 11, 3, 8)  # sum 41
+SENT_OFFS = (0, 1, 10, 12, 19, 30, 33)  # prefix sums of SENT_LENS
+SC_SIZE, SC_OVERLAP = 24, 8
+
+
 def q_sentence_chunks(spark, sf_dir):
-    """C2 (rows-only): sentence chunker over document texts."""
-    from .operators.chunker import sentence_chunk_udf
+    """C2, value-exact: sentence chunker (pinned Chonkie-SentenceChunker
+    contract, chunker.py:sentence_chunks) over deterministically
+    sentence-structured document texts. The DuckDB oracle replays the
+    merge/pack/overlap recursions closed-form."""
+    from .operators.chunker import make_sentence_chunk_udf
 
     d = _docs(spark, sf_dir)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    offs = F.array(*[F.lit(x) for x in SENT_OFFS])
+    lens = F.array(*[F.lit(x) for x in SENT_LENS])
+
+    def off(k):
+        return (F.floor(k / 7) * 41 + F.element_at(offs, (k % 7) + 1)).cast("int")
+
+    ks = F.filter(F.sequence(F.lit(0), F.lit(31)), lambda k: off(k) < F.size(w))
+    sents = F.transform(
+        ks,
+        lambda k: F.array_join(
+            F.slice(w, off(k) + 1, F.element_at(lens, (k % 7) + 1)), " "
+        ),
+    )
+    text2 = F.concat(F.array_join(sents, ". "), F.lit("."))
+    udf = make_sentence_chunk_udf(chunk_size=SC_SIZE, overlap=SC_OVERLAP)
     ch = d.select(
-        "doc_id",
-        F.posexplode(sentence_chunk_udf(F.col("text"))).alias("pos", "c"),
+        "doc_id", F.posexplode(udf(text2)).alias("pos", "c")
     )
     return ch.select(
         "doc_id",
         F.col("c.position").alias("position"),
         F.col("c.token_count").alias("token_count"),
+        F.col("c.content").alias("content"),
     )
 
 
@@ -527,11 +563,12 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN (rows-only): deterministic k-means coarse quantizer,
-    nprobe=2 — the scale path beyond LSH buckets. Recall vs brute force is
-    pinned in pytest."""
+    """IVF ANN, value-exact: sampled coarse quantizer (first-8 corpus
+    vectors — the SQL oracle mirrors cell assignment + nprobe probing
+    exactly), nprobe=2. The k-means-trained quantizer variant stays
+    pinned by the recall-vs-bruteforce pytest."""
     e = _emb(spark, sf_dir)
-    cents = similarity.kmeans_centroids(e, k=8, iters=3)
+    cents = similarity.default_anchors(e, b=8)
     qs = e.filter(F.col("vec_id") % 50 == 0)
     return similarity.ann_ivf(e, qs, cents, k=5, nprobe=2)
 
