@@ -45,7 +45,7 @@ from .htmllib import REMOVE_TAGS, Node, parse_html
 
 _BLOCK_TAGS = frozenset(
     "h1 h2 h3 h4 h5 h6 p pre ul ol table blockquote hr div section article "
-    "main header aside figure".split()
+    "main header aside figure html head body".split()
 )
 _CONTAINER_TAGS = frozenset(
     "[document] html body div section article main header aside figure".split()
@@ -54,31 +54,31 @@ _HEADING_LEVEL = {f"h{i}": i for i in range(1, 7)}
 _LANG_CLASS_RE = re.compile(r"language-([\w+-]+)")
 
 
+def _inline_one(c: Node) -> str:
+    """Render a single node (tag dispatch included) as inline markdown."""
+    if c.is_text:
+        return c.text_content
+    t = c.tag
+    if t == "a":
+        return f"[{_inline(c)}]({c.get('href', '')})"
+    if t == "code":
+        return f"`{_inline(c)}`"
+    if t in ("strong", "b"):
+        return f"**{_inline(c)}**"
+    if t in ("em", "i"):
+        return f"*{_inline(c)}*"
+    if t == "img":
+        return f"![{c.get('alt', '')}]({c.get('src', '')})"
+    if t == "br":
+        return "\n"
+    return _inline(c)
+
+
 def _inline(node: Node) -> str:
     """Render a node's content as inline markdown."""
     if node.is_text:
         return node.text_content
-    parts: list[str] = []
-    for c in node.children:
-        if c.is_text:
-            parts.append(c.text_content)
-            continue
-        t = c.tag
-        if t == "a":
-            parts.append(f"[{_inline(c)}]({c.get('href', '')})")
-        elif t == "code":
-            parts.append(f"`{_inline(c)}`")
-        elif t in ("strong", "b"):
-            parts.append(f"**{_inline(c)}**")
-        elif t in ("em", "i"):
-            parts.append(f"*{_inline(c)}*")
-        elif t == "img":
-            parts.append(f"![{c.get('alt', '')}]({c.get('src', '')})")
-        elif t == "br":
-            parts.append("\n")
-        else:
-            parts.append(_inline(c))
-    return "".join(parts)
+    return "".join(_inline_one(c) for c in node.children)
 
 
 def _table_md(node: Node) -> str:
@@ -132,7 +132,7 @@ def _blocks(node: Node, out: list[str]) -> None:
 
     for c in node.children:
         if c.is_text or c.tag not in _BLOCK_TAGS:
-            pending.append(_inline(c))
+            pending.append(_inline_one(c))
             continue
         flush()
         t = c.tag
@@ -306,10 +306,36 @@ def extract_structured(root: Node) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _extract_from_root(root: Node, only_main: bool = True) -> dict:
+def _collect_topmost(node: Node, tags: frozenset[str], out: list[Node]) -> None:
+    """Document-order top-most nodes whose tag is in ``tags`` (a matched
+    node's descendants are not re-collected)."""
+    for c in node.children:
+        if c.is_text:
+            continue
+        if c.tag in tags:
+            out.append(c)
+        else:
+            _collect_topmost(c, tags, out)
+
+
+def _extract_from_root(
+    root: Node,
+    only_main: bool = True,
+    include_tags: list[str] | None = None,
+    exclude_tags: list[str] | None = None,
+) -> dict:
     """Extraction bundle over an already-parsed tree (parse shared with
     link extraction in the crawl hot path). NOTE: mutates the tree (clean),
-    so run any other tree readers before calling."""
+    so run any other tree readers before calling.
+
+    Scrape options mirror the reference request surface
+    (models/request.py:21-27): ``only_main`` is threaded exactly as
+    scraper.py:177/811 does; ``includeTags``/``excludeTags`` are accepted
+    by the reference API but never consumed (no reader anywhere in the
+    codebase) — here they get the natural semantics: exclude_tags are
+    decomposed before cleaning, include_tags restricts conversion to the
+    top-most matching elements (documented extension beyond the
+    reference's accepted-but-ignored fields)."""
     metadata = extract_metadata(root)  # full soup, BEFORE main swap
     structured = extract_structured(root)
     content: Node = root
@@ -317,6 +343,15 @@ def _extract_from_root(root: Node, only_main: bool = True) -> dict:
         main = find_main_content(root)
         if main is not None:
             content = main
+    if exclude_tags:
+        content.decompose_all(frozenset(exclude_tags))
+    if include_tags:
+        picked: list[Node] = []
+        _collect_topmost(content, frozenset(include_tags), picked)
+        wrapper = Node("div")
+        for n in picked:
+            wrapper.append(n)
+        content = wrapper
     clean_tree(content)
     markdown = to_markdown(content)
     return {
@@ -332,10 +367,38 @@ def _extract_from_root(root: Node, only_main: bool = True) -> dict:
     }
 
 
-def extract_page(html: str, only_main: bool = True) -> dict:
+def extract_page(
+    html: str,
+    only_main: bool = True,
+    include_tags: list[str] | None = None,
+    exclude_tags: list[str] | None = None,
+) -> dict:
     """Reference ``ContentExtractor.extract_content`` +
     ``StructuredDataExtractor.extract_all`` in one parse-shared pass."""
-    return _extract_from_root(parse_html(html), only_main)
+    return _extract_from_root(parse_html(html), only_main, include_tags, exclude_tags)
+
+
+def make_scrape_udf(
+    only_main: bool = True,
+    include_tags: list[str] | None = None,
+    exclude_tags: list[str] | None = None,
+):
+    """Markdown extraction with the full scrape-options surface bound at
+    construction (onlyMainContent / includeTags / excludeTags,
+    models/request.py:21-27)."""
+
+    @F.pandas_udf(T.StringType())
+    def udf(html: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                extract_page(_decode(h), only_main, include_tags, exclude_tags)[
+                    "markdown"
+                ]
+                for h in html
+            ]
+        )
+
+    return udf
 
 
 EXTRACTED_SCHEMA = T.StructType(
@@ -385,6 +448,9 @@ def make_extract_bundle_udf(
     exclude: list[str] | None = None,
     include: list[str] | None = None,
     same_domain: bool = True,
+    only_main: bool = True,
+    include_tags: list[str] | None = None,
+    exclude_tags: list[str] | None = None,
 ):
     """Full extraction + link extraction sharing ONE parse per page — the
     crawl loop's hot path (a separate links UDF would parse every page
@@ -420,7 +486,15 @@ def make_extract_bundle_udf(
                 include=inc,
                 same_domain=same_domain,
             )
-            r = _extract_from_root(root)
+            r = _extract_from_root(root, only_main, include_tags, exclude_tags)
+            # per-page response envelope (models/response.py:4-10): the
+            # fetch join only routes hits here, so statusCode is 200;
+            # misses carry status='missing' in the frontier row instead
+            r["metadata"] = {
+                **r["metadata"],
+                "sourceURL": b or "",
+                "statusCode": "200",
+            }
             r["links"] = links
             rows.append(r)
         return pd.DataFrame(

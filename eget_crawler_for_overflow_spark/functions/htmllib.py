@@ -164,7 +164,13 @@ class _TreeBuilder(HTMLParser):
 
     # -- helpers --------------------------------------------------------
     def _open(self, tag: str, attrs) -> Node:
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        # duplicate attributes: FIRST occurrence wins (HTML5 tokenizer
+        # "duplicate-attribute" rule; keeps parity with the fast parser)
+        d: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in d:
+                d[k] = v if v is not None else ""
+        node = Node(tag, d)
         self._ord += 1
         node.ord = self._ord
         self.stack[-1].append(node)

@@ -68,6 +68,58 @@ SELECT url,
 FROM pages_g
 """
 
+# scrape-options: closed-form markdown for onlyMainContent=False — the
+# whole-soup conversion keeps the <title> text block and the links <div>
+# (anchors coalesce into one inline block); nav/footer/script are cleaned
+_NN = "chr(10) || chr(10)"
+_C0_P = pm.ducksql_child("p.i", "0", N_PAGES)
+_C1_P = pm.ducksql_child("p.i", "1", N_PAGES)
+_CK_P = pm.ducksql_child("p.i", "g.k", N_PAGES)
+_C0URL = pm.ducksql_url(_C0_P, N_HOSTS)
+
+_BBLOCK = f"""
+CASE p.i % 4
+  WHEN 0 THEN '```python' || chr(10) || 'print(' || p.i || ')' || chr(10) || '```'
+  WHEN 1 THEN '- alpha ' || p.i || chr(10) || '- beta'
+  WHEN 2 THEN '| k | v |' || chr(10) || '|---|---|' || chr(10) || '| a | ' || (p.i % 10) || ' |'
+  ELSE 'Closing note ' || p.i || '.' END
+"""
+
+_ANCHORS = f"""
+(SELECT string_agg('[c' || g.k || '](' || {pm.ducksql_url(_CK_P, N_HOSTS)} || ')', '' ORDER BY g.k)
+ FROM generate_series(0, 3) g(k) WHERE g.k < 2 + p.i % 3)
+|| '[top](#top)[mail](mailto:x@example.com)[js](javascript:void(0))'
+|| '[off](https://offsite.example.net/x)[dup](' || {_C0URL} || '?utm=1)'
+|| '[rel](/p/' || {_C1_P} || ')'
+"""
+
+ORACLES["extract_only_main_off"] = f"""
+WITH {PAGES}
+SELECT p.url,
+  'Doc ' || p.i || {_NN} || '# Doc ' || p.i || {_NN} ||
+  p.doc_text || ' See [next](' || {_C0URL} || ').' || {_NN} ||
+  '## Details' || {_NN} || 'Details for page ' || p.i || '.' || {_NN} ||
+  {_BBLOCK} || {_NN} || {_ANCHORS} || chr(10) AS markdown
+FROM pages_g p
+"""
+
+ORACLES["extract_tag_filters"] = f"""
+WITH {PAGES}
+SELECT p.url,
+  '# Doc ' || p.i || {_NN} ||
+  p.doc_text || ' See [next](' || {_C0URL} || ').' || {_NN} ||
+  '## Details' || {_NN} || 'Details for page ' || p.i || '.' ||
+  CASE WHEN p.i % 4 = 3 THEN {_NN} || 'Closing note ' || p.i || '.' ELSE '' END
+  || chr(10) AS md_exclude,
+  '# Doc ' || p.i || {_NN} || '## Details' || chr(10) AS md_include
+FROM pages_g p
+"""
+
+ORACLES["metadata_envelope"] = (
+    f"WITH {PAGES} SELECT url, url AS source_url, '200' AS status_code "
+    "FROM pages_g"
+)
+
 ORACLES["link_explode"] = (
     f"WITH {PAGES}, {LINKS} SELECT src_url AS url, dst_url AS link FROM links_g"
 )

@@ -136,6 +136,49 @@ def q_metadata_extract(spark, sf_dir):
     )
 
 
+def q_extract_only_main_off(spark, sf_dir):
+    """Scrape-options surface: onlyMainContent=False (request.py:21,
+    scraper.py:177,811) — whole-soup conversion instead of the main-
+    content swap; nav/footer/script still cleaned."""
+    from .functions.extract import make_scrape_udf
+
+    udf = make_scrape_udf(only_main=False)
+    return _pages(spark, sf_dir).select(
+        "url", udf(F.col("html")).alias("markdown")
+    )
+
+
+def q_extract_tag_filters(spark, sf_dir):
+    """Scrape-options surface: excludeTags / includeTags (request.py:22-23;
+    accepted-but-unread in the reference — implemented here with natural
+    semantics: exclude decomposes, include restricts to top-most matches)."""
+    from .functions.extract import make_scrape_udf
+
+    ex = make_scrape_udf(exclude_tags=["pre", "ul", "table"])
+    inc = make_scrape_udf(include_tags=["h1", "h2"])
+    p = _pages(spark, sf_dir)
+    return p.select(
+        "url",
+        ex(F.col("html")).alias("md_exclude"),
+        inc(F.col("html")).alias("md_include"),
+    )
+
+
+def q_metadata_envelope(spark, sf_dir):
+    """Per-page response envelope (models/response.py:4-10): sourceURL +
+    statusCode ride the metadata map through the crawl bundle UDF."""
+    from .functions.extract import make_extract_bundle_udf
+
+    bundle = make_extract_bundle_udf(same_domain=False)
+    p = _pages(spark, sf_dir)
+    e = p.select("url", bundle(F.col("html"), F.col("url")).alias("e"))
+    return e.select(
+        "url",
+        F.col("e.metadata")["sourceURL"].alias("source_url"),
+        F.col("e.metadata")["statusCode"].alias("status_code"),
+    )
+
+
 def q_link_explode(spark, sf_dir):
     """T3+T1: real HTML link extraction, normalized + same-domain filtered."""
     link_udf = make_link_udf()  # per-page base domain
@@ -639,6 +682,9 @@ QUERIES = {
     "title_extract": q_title_extract,
     "structured_og": q_structured_og,
     "metadata_extract": q_metadata_extract,
+    "extract_only_main_off": q_extract_only_main_off,
+    "extract_tag_filters": q_extract_tag_filters,
+    "metadata_envelope": q_metadata_envelope,
     "link_explode": q_link_explode,
     "url_normalize": q_url_normalize,
     "host_groups": q_host_groups,

@@ -49,6 +49,28 @@ def test_incremental_extract_skips_cached(spark, tmp_path):
     assert third.count() == 100
 
 
+def test_cache_key_includes_options(spark, tmp_path):
+    """Two different option sets must not share cache rows — the key is
+    url + options fingerprint (cache_service.py:37-55), not url alone."""
+    pages = load_pages(spark, SF)
+    snap = str(tmp_path / "snap_opts")
+    a = extract_incremental(spark, pages.limit(30), snap, run_id=0)
+    assert a.count() == 30
+    # same urls, different content-affecting options: full re-extract
+    b = extract_incremental(
+        spark, pages.limit(30), snap, run_id=1, options={"only_main": False}
+    )
+    assert b.count() == 30
+    # same urls, same options as run 0: all cached
+    c = extract_incremental(spark, pages.limit(30), snap, run_id=2)
+    assert c.count() == 0
+    # irrelevant option keys don't change the fingerprint
+    d = extract_incremental(
+        spark, pages.limit(30), snap, run_id=3, options={"formats": ["md"]}
+    )
+    assert d.count() == 0
+
+
 def test_priority_frontier_prefers_cold_hosts(spark):
     pages = load_pages(spark, SF)
     seeds = [pm.url_of(i, N_HOSTS) for i in (0, 2, 4)]

@@ -38,6 +38,7 @@ def main() -> None:
     ap.add_argument("--robots", help="parquet table (host, rules_text)")
     ap.add_argument("--crawl-delay-window", type=float, default=None)
     ap.add_argument("--host-budget", type=int, default=None)
+    ap.add_argument("--max-generations", type=int, default=64)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--output", required=True)
@@ -74,6 +75,7 @@ def main() -> None:
         respect_robots=args.respect_robots,
         crawl_delay_window=args.crawl_delay_window,
         host_budget=args.host_budget,
+        max_generations=args.max_generations,
     )
     res = run_crawl(
         spark,
