@@ -276,9 +276,12 @@ def _run_crawl(
             admitted_count += n_adm
             metrics_rows.append((crawl_id, g, "admitted", float(n_adm)))
             if n_adm > 0:
-                # bucketed O(delta) append + distributive bloom-delta build
-                seen.add(admitted_g)
-                t0 = _t("seen-add", t0)
+                # bucketed O(delta) append + distributive bloom-delta build,
+                # overlapped with this generation's fetch/extract/expand
+                # (nothing below reads the seen set; the next generation's
+                # filter_unseen barriers first)
+                seen.add_async(admitted_g)
+                t0 = _t("seen-add-async", t0)
                 admitted_gens.append(admitted_g)
                 # admitted_hosts / extracted / missing metric rows are
                 # computed once post-loop (single grouped agg over the

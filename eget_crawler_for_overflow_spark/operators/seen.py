@@ -33,6 +33,7 @@ here is the right mechanism up to ~100 MB of filters.
 
 from __future__ import annotations
 
+import threading
 import uuid
 from collections.abc import Iterator
 
@@ -133,10 +134,46 @@ class SeenSet:
         )
         self._bc = None  # current broadcast of self.bits
         self.count = 0
+        self._thread: threading.Thread | None = None
+        self._thread_err: BaseException | None = None
+
+    # -- async update pipeline --------------------------------------------
+    # The generation loop overlaps seen maintenance (bucketed append +
+    # bitmap build: two O(delta) jobs) with the fetch/extract/expand phase
+    # of the SAME generation — nothing in between reads the seen set.
+    # Spark job submission is thread-safe; barrier() re-raises any failure
+    # before the next membership check.
+
+    def add_async(self, admitted: DataFrame) -> None:
+        self.barrier()
+
+        def run() -> None:
+            try:
+                self.add(admitted)
+            except BaseException as e:  # surfaced at barrier()
+                self._thread_err = e
+
+        try:
+            from pyspark.util import inheritable_thread_target
+
+            target = inheritable_thread_target(self.spark)(run)
+        except ImportError:
+            target = run
+        self._thread = threading.Thread(target=target, daemon=True)
+        self._thread.start()
+
+    def barrier(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._thread_err is not None:
+            err, self._thread_err = self._thread_err, None
+            raise err
 
     # -- storage ----------------------------------------------------------
     @property
     def df(self) -> DataFrame:
+        self.barrier()
         if not self._created:
             return self.spark.createDataFrame([], SEEN_SCHEMA)
         return self.spark.table(self.table).select("url_hash", "url", "host")
@@ -144,6 +181,10 @@ class SeenSet:
     def drop(self) -> None:
         """Release catalog state (the crawl's working set; resumable crawls
         rebuild it from the per-generation admitted checkpoint tables)."""
+        try:
+            self.barrier()
+        except BaseException:
+            pass  # the crawl already surfaced (or swallowed) this
         if self._created:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
             self._created = False
@@ -220,6 +261,7 @@ class SeenSet:
         join) and maybe-seen (exact anti-join); the union is exact. The
         anti-join's right side is the bucketed table scan — no exchange on
         the accumulated set."""
+        self.barrier()
         if not self._created or self.count == 0:
             if not self._created and self.count == 0:
                 return cand  # nothing seen yet
