@@ -294,7 +294,10 @@ class SeenSet:
                 yield pdf
 
         marked = cand.mapInPandas(mark, maybe_schema)
-        marked = marked.localCheckpoint(eager=True)  # evaluate bloom once
+        # no checkpoint: the two union branches re-run the (cheap, pure-
+        # numpy) bloom mark instead of paying a wave-sized materialization
+        # barrier per generation; cand is always a checkpointed parent, so
+        # both branches see identical data
         fresh = marked.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
         maybe = marked.filter(F.col("__maybe_seen")).drop("__maybe_seen")
         checked = maybe.join(self.df.select(hash_col), on=hash_col, how="left_anti")
