@@ -49,6 +49,38 @@ def test_ann_broadcasts_query_side(spark, sf01):
     assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in plan_text(df)
 
 
+def test_seen_table_scan_is_bucketed_no_exchange(spark, tmp_path):
+    """When the seen side is too big to broadcast, the anti-join must read
+    the bucketed table in place: HashPartitioning(url_hash) comes from the
+    scan, so the accumulated seen set is never re-shuffled per generation
+    (the storage-partitioned-join analog the 10^10-URL design relies on)."""
+    from eget_crawler_for_overflow_spark.operators.seen import SeenSet
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen = SeenSet(spark, n_shards=8)
+        d = spark.range(0, 5000).select(
+            F.xxhash64("id").alias("url_hash"),
+            F.col("id").cast("string").alias("url"),
+            F.lit("h").alias("host"),
+        )
+        seen.add(d)
+        cand = spark.range(2000, 9000).select(
+            F.xxhash64("id").alias("url_hash"),
+            F.col("id").cast("string").alias("url"),
+        )
+        out = seen.filter_unseen(cand)
+        txt = plan_text(out, "formatted")
+        # the bucketed scan must be active (not "Bucketed: false")
+        assert "Bucketed: true" in txt, txt[:2000]
+        # and the exact check still returns the right rows
+        assert out.count() == 4000
+        seen.drop()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_budget_topk_is_take_ordered(spark):
     from eget_crawler_for_overflow_spark.operators.ordering import top_k
 
