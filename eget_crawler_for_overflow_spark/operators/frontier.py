@@ -204,6 +204,10 @@ def _run_crawl(
         admitted_g = None
         n_adm = 0
         if have_cand:
+            # A2 queue stats: candidates entering admission this wave (the
+            # batch analog of the reference's queued gauge,
+            # queue_manager.py get_stats)
+            metrics_rows.append((crawl_id, g, "queued", float(n_cand)))
             # F8 invalid-URL guard: the reference validates every URL before
             # enqueue (pydantic HttpUrl on seeds, urlparse on links) — and
             # Spark 4's parse_url THROWS on malformed input, so an un-guarded
@@ -490,12 +494,23 @@ def _run_crawl(
                 (crawl_id, r["generation"], "admitted_hosts", float(r["h"]))
             )
     if extracted is not None:
-        for r in (
+        status_rows = (
             extracted.groupBy("fetch_generation", "status").count().collect()
-        ):
+        )
+        per_gen_done: dict[int, int] = {}
+        for r in status_rows:
             metrics_rows.append(
                 (crawl_id, r["fetch_generation"], r["status"], float(r["count"]))
             )
+            per_gen_done[r["fetch_generation"]] = (
+                per_gen_done.get(r["fetch_generation"], 0) + r["count"]
+            )
+        # A2: cumulative processed pages through each generation (the
+        # reference's completed counter)
+        done = 0
+        for gg in sorted(per_gen_done):
+            done += per_gen_done[gg]
+            metrics_rows.append((crawl_id, gg, "completed", float(done)))
     metrics_rows.sort(key=lambda m: (m[1], m[2]))
     metrics = spark.createDataFrame(
         metrics_rows or [(crawl_id, -1, "admitted", 0.0)],

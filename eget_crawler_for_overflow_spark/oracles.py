@@ -263,6 +263,34 @@ ORACLES["frontier_status_counts"] = (
     "FROM closure GROUP BY 1"
 )
 
+# A2 queue gauges: queued(g) = candidate links produced by the depth-(g-1)
+# wave (seeds at g=0); completed(g) = cumulative admitted-and-fetched pages
+# through depth g (every admitted row is fetched in its own generation in
+# the no-politeness driver crawl)
+ORACLES["queue_stats"] = (
+    _BFS_REACH
+    + f""",
+queued AS (
+  SELECT 0 AS generation, COUNT(*) AS queued FROM closure WHERE depth = 0
+  UNION ALL
+  -- explicit DISTINCT: DuckDB re-expands the links_g UNION branches when
+  -- the CTE is consumed alongside a recursive CTE, re-introducing the
+  -- child/rel duplicate pairs the UNION had deduped
+  SELECT CAST(c.depth + 1 AS INT), COUNT(*)
+  FROM closure c
+  JOIN (SELECT DISTINCT src_url, dst_url FROM links_g) l
+    ON l.src_url = c.url
+  WHERE c.depth < {CRAWL_DEPTH}
+  GROUP BY c.depth + 1),
+done AS (
+  SELECT CAST(depth AS INT) AS generation,
+         CAST(SUM(COUNT(*)) OVER (ORDER BY depth) AS BIGINT) AS completed
+  FROM closure GROUP BY depth)
+SELECT q.generation, CAST(q.queued AS BIGINT) AS queued, d.completed
+FROM queued q JOIN done d ON d.generation = q.generation
+"""
+)
+
 ORACLES["bfs_depth_counts"] = (
     _BFS_REACH
     + "SELECT CAST(depth AS INT) AS depth, COUNT(*) AS n_urls FROM closure GROUP BY 1"

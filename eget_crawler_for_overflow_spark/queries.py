@@ -317,6 +317,21 @@ def q_crawl_stats(spark, sf_dir):
     return res.extracted.groupBy("status").agg(F.count("*").alias("n"))
 
 
+def q_queue_stats(spark, sf_dir):
+    """A2: per-generation queue gauges — candidates entering admission
+    (queued) and cumulative processed pages (completed), the batch analog
+    of the reference's queue_manager.get_stats()."""
+    res = _crawl(spark, sf_dir)
+    m = res.metrics
+    q = m.filter(F.col("name") == "queued").select(
+        "generation", F.col("value").cast("long").alias("queued")
+    )
+    c = m.filter(F.col("name") == "completed").select(
+        "generation", F.col("value").cast("long").alias("completed")
+    )
+    return q.join(c, on="generation")
+
+
 def q_frontier_status_counts(spark, sf_dir):
     """A2 (rows-only): per-generation admitted counts from engine metrics."""
     res = _crawl(spark, sf_dir)
@@ -700,6 +715,7 @@ QUERIES = {
     "bfs_depth_counts": q_bfs_depth_counts,
     "crawl_stats": q_crawl_stats,
     "frontier_status_counts": q_frontier_status_counts,
+    "queue_stats": q_queue_stats,
     "robots_gate": q_robots_gate,
     "politeness_schedule": q_politeness_schedule,
     "md_clean": q_md_clean,
