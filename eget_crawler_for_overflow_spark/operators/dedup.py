@@ -86,6 +86,7 @@ def ngram_jaccard_pairs(
             F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
         )
     )
+    sh = sh.select("id", "sh")  # drop any carried hv column before self-join
     j = (
         pairs.join(sh.withColumnRenamed("sh", "sh_a"), pairs["id_a"] == sh["id"])
         .drop("id")
@@ -112,16 +113,49 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
-    """num_perm md5-based min-hashes (hex-string min ≡ uniform permutation
-    min; md5 is identical in DuckDB, keeping the oracle exact)."""
-    def _perm_min(p: int):
-        prefix = f"{p}|"
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
-        )
+# affine-permutation family over a single md5-derived base hash: ONE digest
+# per shingle (instead of num_perm digests), then num_perm cheap integer
+# maps (a_p*h + b_p) mod M — pure JVM codegen arithmetic. Constants are
+# sized so a_p*h never leaves int64 (h < 2^28 from 7 hex chars, a_p < 2^21);
+# M = 2^31-1 (Mersenne prime). At the 10^10-URL design point widen h to
+# 60 bits with two-limb arithmetic; 28 bits is collision-fine for shingle
+# universes up to ~10^7 (collisions merely merge two shingles).
+MINHASH_M = 2_147_483_647
 
-    return F.array(*[_perm_min(p) for p in range(num_perm)])
+
+def minhash_a(p: int) -> int:
+    return 1_000_003 + 7_919 * p
+
+
+def minhash_b(p: int) -> int:
+    return 12_345 + 104_729 * p
+
+
+def shingle_base_hash(shingles: Column) -> Column:
+    """array<long> base hashes: first 7 md5 hex chars as an integer —
+    identical in DuckDB ('0x'||substr(md5(s),1,7))::BIGINT, keeping every
+    MinHash oracle exact."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+    )
+
+
+def minhash_signature(hv: Column, num_perm: int = 16) -> Column:
+    """num_perm min-hashes over precomputed base hashes ``hv``."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hv,
+                    lambda x: (
+                        F.lit(minhash_a(p)) * x + F.lit(minhash_b(p))
+                    ) % F.lit(MINHASH_M),
+                )
+            )
+            for p in range(num_perm)
+        ]
+    )
 
 
 def minhash_lsh_candidates(
@@ -141,10 +175,16 @@ def minhash_lsh_candidates(
         shingles_df
         if shingles_df is not None
         else df.select(
-            F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), n).alias("sh"),
         )
     )
-    sig = sh.select("id", minhash_signature(F.col("sh"), num_perm).alias("sig"))
+    hv = (
+        F.col("hv")
+        if "hv" in sh.columns
+        else shingle_base_hash(F.col("sh"))
+    )
+    sig = sh.select("id", minhash_signature(hv, num_perm).alias("sig"))
     band_rows = sig.select(
         "id",
         F.explode(
@@ -152,16 +192,14 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.element_at(
-                                        F.col("sig"), b * rows_per_band + r + 1
-                                    )
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at(
+                                    F.col("sig"), b * rows_per_band + r + 1
+                                )
+                                for r in range(rows_per_band)
+                            ],
                         ).alias("key"),
                     )
                     for b in range(bands)
@@ -191,13 +229,20 @@ def minhash_dedup(
     """LSH candidates → exact-Jaccard verification. Returns confirmed
     near-dup pairs with integer intersect/union counts.
 
-    The shingle array is computed ONCE and persisted: without the persist
-    barrier, Catalyst's CollapseProject inlines the split/distinct
-    expression into all 16 permutation mins (16× recompute) and again into
-    the verification join — measured ~10× slower at sf0.1."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
-    ).persist()
+    The shingle array AND its base-hash array are computed ONCE and
+    persisted: without the persist barrier, Catalyst's CollapseProject
+    inlines the split/distinct expression into all 16 permutation mins
+    (16× recompute) and again into the verification join — measured ~10×
+    slower at sf0.1. The md5 digest is likewise persisted (hv), so the 16
+    permutations are pure integer maps over cached arrays."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), n).alias("sh"),
+        )
+        .withColumn("hv", shingle_base_hash(F.col("sh")))
+        .persist()
+    )
     cand = minhash_lsh_candidates(
         df, id_col, text_col, n, num_perm, bands, shingles_df=sh
     )

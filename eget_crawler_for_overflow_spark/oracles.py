@@ -457,19 +457,27 @@ WHERE len(list_intersect(sa.sh, sb.sh)) * 100
       >= 60 * len(list_distinct(list_concat(sa.sh, sb.sh)))
 """
 
+# affine MinHash family (mirrors dedup.py: one md5-derived 28-bit base hash
+# per shingle, then (a_p*h + b_p) mod 2^31-1 per permutation)
+_HV = (
+    "hvt AS (SELECT id, sh, "
+    "[('0x' || substr(md5(s), 1, 7))::BIGINT for s in sh] AS hv FROM sh)"
+)
 _SIGS = ", ".join(
-    f"list_aggregate(list_transform(sh, s -> md5('{p}|' || s)), 'min') AS m{p}"
+    f"list_min([({1_000_003 + 7_919 * p} * v + {12_345 + 104_729 * p}) "
+    f"% 2147483647 for v in hv]) AS m{p}"
     for p in range(16)
 )
 _BANDS = " UNION ALL ".join(
-    f"SELECT id, {b} AS band, md5(m{4 * b} || '|' || m{4 * b + 1} || '|' || "
-    f"m{4 * b + 2} || '|' || m{4 * b + 3}) AS key FROM sig"
+    f"SELECT id, {b} AS band, m{4 * b}::VARCHAR || '|' || "
+    f"m{4 * b + 1}::VARCHAR || '|' || m{4 * b + 2}::VARCHAR || '|' || "
+    f"m{4 * b + 3}::VARCHAR AS key FROM sig"
     for b in range(4)
 )
 
 ORACLES["dedup_minhash"] = f"""
-WITH {_BOTH_NEAR}, {_SHINGLES},
-sig AS (SELECT id, {_SIGS} FROM sh),
+WITH {_BOTH_NEAR}, {_SHINGLES}, {_HV},
+sig AS (SELECT id, {_SIGS} FROM hvt),
 bands AS ({_BANDS}),
 cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
@@ -511,8 +519,8 @@ _SHINGLES3 = _SHINGLES.replace("FROM corpus2", "FROM corpus3")
 # near-dup clusters: MinHash pairs over corpus3, symmetric closure,
 # component = min reachable id via recursive UNION (fixpoint, cycle-safe)
 ORACLES["dedup_components"] = f"""
-WITH RECURSIVE {_CORPUS3}, {_SHINGLES3},
-sig AS (SELECT id, {_SIGS} FROM sh),
+WITH RECURSIVE {_CORPUS3}, {_SHINGLES3}, {_HV},
+sig AS (SELECT id, {_SIGS} FROM hvt),
 bands AS ({_BANDS}),
 cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
