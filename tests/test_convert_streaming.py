@@ -68,6 +68,39 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
     assert got.exceptAll(batch).count() == 0  # byte-identical to batch oracle
 
 
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState seen-set: a url that already streamed through
+    in an earlier micro-batch is never emitted again (first-wins across
+    batches, state persisted via the streaming checkpoint)."""
+    from eget_crawler_for_overflow_spark.streaming.stream_dedup import (
+        dedup_stream,
+    )
+
+    pages = load_pages(spark, SF)
+    src = str(tmp_path / "dedup_stream_src")
+    # two overlapping files -> two micro-batches (maxFilesPerTrigger=1):
+    # 0-39 then 20-59; urls 20-39 must be emitted exactly once
+    first = pages.limit(40)
+    both = pages.limit(60)
+    second = both.exceptAll(first.limit(20))  # rows 20-59
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    out = dedup_stream(stream_pages(spark, src, max_files=1))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT url FROM dedup_out")
+    assert got.count() == 60  # 80 input rows, 20 dups suppressed
+    assert got.distinct().count() == 60
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     pages = load_pages(spark, SF)
     src = str(tmp_path / "pages_stream2")
