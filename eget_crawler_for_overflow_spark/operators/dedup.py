@@ -426,3 +426,36 @@ def embedding_dup_pairs(
     return j.select("id_a", "id_b").filter(
         cosine_sim(F.col("v_a"), F.col("v_b")) >= F.lit(threshold)
     )
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    anchors: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane sign buckets
+    replace the all-pairs cross product — candidates must share the full
+    b-bit signature (identical/near-identical vectors always do), then
+    exact cosine confirms. The self-join key cardinality is 2^b, the same
+    recall-for-shuffle trade as MinHash banding."""
+    from .similarity import lsh_bits
+
+    c = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bits(F.col(vec_col), anchors).alias("bucket"),
+    )
+    left = c.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket"
+    )
+    right = c.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket"
+    )
+    return (
+        left.join(right, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_sim(F.col("v_a"), F.col("v_b")) >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )

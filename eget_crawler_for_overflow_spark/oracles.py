@@ -567,6 +567,65 @@ FROM e JOIN copies c ON c.orig = e.vec_id
 WHERE {_cos("e.v", "c.v")} >= 0.95
 """
 
+# embedding near-dup via sign buckets: bucket bit j = (v · anchor_j > 0),
+# anchors = first-8 corpus vectors (mirrors similarity.default_anchors)
+ORACLES["dedup_embedding_lsh"] = f"""
+WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+both_e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 10000,
+         CASE WHEN vec_id % 2 = 0 THEN v ELSE [-x for x in v] END
+  FROM base),
+a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < 8),
+dots AS (SELECT e.vec_id, a.aid, {_DOT.format(a="e.v", b="a.av")} AS dot
+         FROM both_e e, a),
+buckets AS (SELECT vec_id,
+                   SUM(CASE WHEN dot > 0 THEN CAST(POW(2, aid) AS BIGINT)
+                       ELSE 0 END) AS bucket
+            FROM dots GROUP BY 1),
+cand AS (
+  SELECT ea.vec_id AS id_a, eb.vec_id AS id_b, ea.v AS va, eb.v AS vb
+  FROM buckets ba JOIN buckets bb ON ba.bucket = bb.bucket
+                 AND ba.vec_id < bb.vec_id
+  JOIN both_e ea ON ea.vec_id = ba.vec_id
+  JOIN both_e eb ON eb.vec_id = bb.vec_id)
+SELECT id_a, id_b FROM cand WHERE {_cos("va", "vb")} >= 0.95
+"""
+
+# winnowing sketch: K=8, W=16, B=131, M=2^61-1. ASCII corpus keeps the
+# 8-term polynomial < 2^60, so poly % M == poly and matches the Python
+# rolling hash exactly (functions/text.py:winnow_fingerprint_udf)
+_WINNOW_POLY = " + ".join(
+    f"unicode(substr(text, g.i + {j + 1}, 1))::BIGINT * {131 ** (7 - j)}"
+    for j in range(8)
+)
+
+ORACLES["winnow_sketch"] = f"""
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE length(text) >= 8),
+hs AS (
+  -- fixed series + filter: DuckDB's generate_series cannot take a
+  -- lateral column bound
+  SELECT doc_id, g.i AS i, ({_WINNOW_POLY}) % 2305843009213693951 AS h
+  FROM t, generate_series(0, 4095) g(i) WHERE g.i <= n - 8),
+wm AS (SELECT doc_id, i,
+              MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m,
+              COUNT(*) OVER (PARTITION BY doc_id) AS nh
+       FROM hs),
+wins AS (SELECT doc_id, i, m FROM wm WHERE i <= GREATEST(nh - 16, 0)),
+ded AS (SELECT doc_id, i, m,
+               LAG(m) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM wins),
+keep AS (SELECT doc_id, i, m FROM ded WHERE prev IS NULL OR m != prev)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT)
+       AS sketch_pos,
+       m AS hash
+FROM keep
+"""
+
 ORACLES["ann_bruteforce"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -607,6 +607,39 @@ def q_dedup_embedding(spark, sf_dir):
     return dedup.embedding_dup_pairs(both, pairs, threshold=0.95)
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup via sign-bucket self-join (no cross product):
+    even-id copies are identical (must be found — same bucket always),
+    odd-id copies are negated (must be rejected)."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copy = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.when(F.col("vec_id") % 2 == 0, F.col("embedding"))
+        .otherwise(F.transform(F.col("embedding"), lambda x: -x))
+        .alias("embedding"),
+    )
+    both = e.unionByName(copy)
+    anchors = similarity.default_anchors(e, b=8)
+    return dedup.embedding_dup_pairs_lsh(both, anchors, threshold=0.95)
+
+
+def q_winnow_sketch(spark, sf_dir):
+    """Winnowing document sketch (Schleimer et al. 2003): k-gram rolling
+    hashes, per-window minima, consecutive-dedup — the classic robust
+    fingerprint. The oracle replays the polynomial hash + window minima
+    closed-form (ASCII corpus keeps the int64 polynomial exact)."""
+    from .functions.text import winnow_fingerprint_udf
+
+    d = _docs(spark, sf_dir)
+    ch = d.select(
+        "doc_id",
+        F.posexplode(winnow_fingerprint_udf(F.col("text"))).alias(
+            "sketch_pos", "hash"
+        ),
+    )
+    return ch.select("doc_id", "sketch_pos", "hash")
+
+
 def q_ann_bruteforce(spark, sf_dir):
     e = _emb(spark, sf_dir)
     qs = e.filter(F.col("vec_id") % 50 == 0)
@@ -730,6 +763,8 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "winnow_sketch": q_winnow_sketch,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
