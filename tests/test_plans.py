@@ -81,6 +81,21 @@ def test_seen_table_scan_is_bucketed_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_minhash_band_join_no_cartesian(spark, sf01):
+    """The LSH candidate join must be an equi-join on (band, key) — a
+    cartesian/broadcast-nested-loop here would be the quadratic scan the
+    whole design exists to avoid."""
+    from eget_crawler_for_overflow_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf01}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = minhash_dedup(docs, threshold_pct=60)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
 def test_budget_topk_is_take_ordered(spark):
     from eget_crawler_for_overflow_spark.operators.ordering import top_k
 
