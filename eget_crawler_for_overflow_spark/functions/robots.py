@@ -1,29 +1,105 @@
-"""robots.txt evaluation (reference: link_extractor.py:30-46).
+"""robots.txt evaluation (reference: link_extractor.py:27-46).
 
 The reference fetches ``{scheme}://{host}/robots.txt`` once per crawl and
-checks ``is_allowed("*", url)``; a missing/failed robots.txt means
-allow-all (the parse simply never happens — link_extractor.py:36-40).
+checks ``RobotExclusionRulesParser.is_allowed("*", url)``; a missing/
+failed robots.txt means allow-all (the parse simply never happens —
+link_extractor.py:36-40). That library implements the MK1994/96 syntax
+plus the 2008 wildcard extensions, so this module is a from-scratch
+parser with the same documented semantics (stdlib ``urllib.robotparser``
+supports neither ``*`` nor ``$`` in paths):
+
+* rule groups keyed by ``User-agent``; the ``*`` group applies;
+* ``Allow``/``Disallow`` patterns may contain ``*`` (any chars) and a
+  trailing ``$`` (end anchor); matching is against path+query;
+* rules are evaluated IN FILE ORDER, first match wins (MK1996 ordering,
+  the library's behavior — NOT Google's longest-match);
+* an empty ``Disallow:`` matches nothing; no match ⇒ allowed;
+* ``Crawl-delay`` is read from the applicable group.
 
 Batch analog: a small ``robots(host string, rules_text string)`` table is
 broadcast-joined to the frontier on ``host`` (SURVEY.md §2.4 J4) and a
-pandas UDF evaluates the rules with stdlib ``urllib.robotparser``. Parsed
-rule objects are memoized per distinct ``rules_text`` within each Arrow
-batch — one parse per host per batch, not per row.
+pandas UDF evaluates the rules. Parsed rule objects are memoized per
+distinct ``rules_text`` within each Arrow batch — one parse per host per
+batch, not per row.
 """
 
 from __future__ import annotations
 
-from urllib import robotparser
+import re
+from urllib.parse import urlparse
 
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _parser_for(rules_text: str) -> robotparser.RobotFileParser:
-    p = robotparser.RobotFileParser()
-    p.parse((rules_text or "").splitlines())
-    return p
+class RobotRules:
+    __slots__ = ("rules", "delay")
+
+    def __init__(self, rules: list[tuple[bool, re.Pattern]], delay: float | None):
+        self.rules = rules
+        self.delay = delay
+
+    def is_allowed(self, url: str) -> bool:
+        try:
+            p = urlparse(url)
+            target = p.path or "/"
+            if p.query:
+                target += "?" + p.query
+        except ValueError:
+            return True
+        for allow, pat in self.rules:
+            if pat.match(target):
+                return allow
+        return True
+
+    def crawl_delay(self) -> float:
+        return float(self.delay) if self.delay else 0.0
+
+
+def _compile_path(pattern: str) -> re.Pattern | None:
+    if not pattern:
+        return None  # empty Disallow/Allow matches nothing
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    rx = ".*".join(re.escape(part) for part in pattern.split("*"))
+    return re.compile(rx + ("$" if anchored else ""))
+
+
+def _parser_for(rules_text: str) -> RobotRules:
+    rules: list[tuple[bool, re.Pattern]] = []
+    delay: float | None = None
+    current_agents: list[str] = []
+    in_star_group = False
+    seen_rule_since_agent = True
+    for raw in (rules_text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if seen_rule_since_agent:
+                current_agents = []
+                seen_rule_since_agent = False
+            current_agents.append(value.lower())
+            in_star_group = "*" in current_agents
+            continue
+        seen_rule_since_agent = True
+        if not in_star_group:
+            continue
+        if field in ("allow", "disallow"):
+            pat = _compile_path(value)
+            if pat is not None:
+                rules.append((field == "allow", pat))
+        elif field == "crawl-delay":
+            try:
+                delay = float(value)
+            except ValueError:
+                pass
+    return RobotRules(rules, delay)
 
 
 def robots_allowed(url: str, rules_text: str | None) -> bool:
@@ -32,7 +108,7 @@ def robots_allowed(url: str, rules_text: str | None) -> bool:
     if not rules_text:
         return True
     try:
-        return _parser_for(rules_text).can_fetch("*", url)
+        return _parser_for(rules_text).is_allowed(url)
     except Exception:
         return True
 
@@ -41,15 +117,14 @@ def crawl_delay(rules_text: str | None) -> float:
     if not rules_text:
         return 0.0
     try:
-        d = _parser_for(rules_text).crawl_delay("*")
-        return float(d) if d else 0.0
+        return _parser_for(rules_text).crawl_delay()
     except Exception:
         return 0.0
 
 
 @F.pandas_udf(T.BooleanType())
 def robots_allowed_udf(url: pd.Series, rules_text: pd.Series) -> pd.Series:
-    cache: dict[str, robotparser.RobotFileParser] = {}
+    cache: dict[str, RobotRules] = {}
     out = []
     for u, rt in zip(url, rules_text):
         if not rt or u is None:
@@ -60,7 +135,7 @@ def robots_allowed_udf(url: pd.Series, rules_text: pd.Series) -> pd.Series:
             p = _parser_for(rt)
             cache[rt] = p
         try:
-            out.append(bool(p.can_fetch("*", u)))
+            out.append(bool(p.is_allowed(u)))
         except Exception:
             out.append(True)
     return pd.Series(out)
