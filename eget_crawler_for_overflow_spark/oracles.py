@@ -305,14 +305,18 @@ FROM closure r LEFT JOIN pages_g p ON r.url = p.url GROUP BY 1
 """
 )
 
-# robots fixture: host%4==2 disallows path prefix /p/1 (urllib.robotparser
-# prefix semantics); the other variants never match page urls
+# robots fixture: host%4==2 disallows path prefix /p/1; host%4==3
+# disallows the wildcard /p/*7$ (page ids ending in 7 — exercises the
+# parser's */$ support); other variants never match page urls
 ORACLES["robots_gate"] = f"""
 WITH {PAGES}
 SELECT url,
   CASE WHEN host % 4 = 2
        AND url LIKE 'https://host' || host || '.example/p/1%'
-       THEN FALSE ELSE TRUE END AS allowed
+       THEN FALSE
+       WHEN host % 4 = 3 AND url LIKE '%7'
+       THEN FALSE
+       ELSE TRUE END AS allowed
 FROM pages_g
 """
 

@@ -343,7 +343,8 @@ def q_frontier_status_counts(spark, sf_dir):
 def robots_rules_df(spark, sf_dir):
     """Deterministic per-host robots.txt fixture (FIXTURES.md §3):
     variant = host % 4 → allow-all / disallow-prefix /private/ /
-    disallow-prefix /p/1 / crawl-delay+disallow /nav."""
+    disallow-prefix /p/1 / crawl-delay + wildcard disallow /p/*7$
+    (exercises the 2008 wildcard extensions of the robots parser)."""
     _, n_hosts = pm.sizing(sf_dir)
     hosts = spark.range(n_hosts).select(
         F.concat(F.lit("host"), F.col("id"), F.lit(".example")).alias("host"),
@@ -354,7 +355,7 @@ def robots_rules_df(spark, sf_dir):
         .when(F.col("v") == 2, F.lit("User-agent: *\nDisallow: /p/1"))
         .when(
             F.col("v") == 3,
-            F.lit("User-agent: *\nCrawl-delay: 2\nDisallow: /nav"),
+            F.lit("User-agent: *\nCrawl-delay: 2\nDisallow: /p/*7$"),
         )
         .otherwise(F.lit(""))
     )
