@@ -194,6 +194,22 @@ closure AS (SELECT url, MIN(depth) AS depth FROM reach GROUP BY url)
 
 ORACLES["bfs_reach"] = _BFS_REACH + "SELECT url, CAST(depth AS INT) AS depth FROM closure"
 
+# engine crawl under robots: host0 carries 'Disallow: /p/*7$', so edges to
+# page-ids ending in 7 are pruned (seeds bypass robots — seed /p/7 stays)
+ORACLES["bfs_reach_robots"] = f"""
+WITH RECURSIVE {PAGES}, {LINKS},
+reach_r(url, depth) AS (
+  SELECT url, 0 FROM pages_g WHERE i IN {SEED_IDS}
+  UNION ALL
+  SELECT l.dst_url, r.depth + 1
+  FROM reach_r r JOIN links_g l ON l.src_url = r.url
+  WHERE r.depth < {CRAWL_DEPTH}
+    AND NOT (l.dst_url LIKE '%/p/%' AND l.dst_url LIKE '%7')
+),
+closure_r AS (SELECT url, MIN(depth) AS depth FROM reach_r GROUP BY url)
+SELECT url, CAST(depth AS INT) AS depth FROM closure_r
+"""
+
 # ---------------------------------------------------------------------------
 # bfs_order: the reference's FIFO admission order, closed form. Key insight:
 # enqueue order == lexicographic order of (depth, path), where a url's path

@@ -362,6 +362,32 @@ def robots_rules_df(spark, sf_dir):
     return hosts.select("host", rules.alias("rules_text"))
 
 
+def q_bfs_reach_robots(spark, sf_dir):
+    """Flagship variant: full engine crawl WITH robots enforcement (J4
+    broadcast join + F7 wildcard gate inside the admission pipeline; seeds
+    exempt per crawler_service.py:117 / link_extractor.py:119-120 — seed
+    /p/7 matches the disallow yet must be admitted). Oracle = BFS closure
+    with robots-filtered edges (prunes 151 → 112 urls at sf0.01)."""
+    key = (sf_dir, "robots", CRAWL_DEPTH)
+    if key not in _crawl_cache:
+        _, n_hosts = pm.sizing(sf_dir)
+        seeds = [pm.url_of(i, n_hosts) for i in CRAWL_SEED_IDS]
+        robots = spark.createDataFrame(
+            [("host0.example", "User-agent: *\nDisallow: /p/*7$")],
+            "host string, rules_text string",
+        )
+        cfg = CrawlConfig(
+            max_depth=CRAWL_DEPTH,
+            max_pages=None,
+            use_bloom=True,
+            respect_robots=True,
+        )
+        res = run_crawl(spark, _pages(spark, sf_dir), seeds, cfg, robots=robots)
+        res.admitted = res.admitted.localCheckpoint(eager=True)
+        _crawl_cache[key] = res
+    return _crawl_cache[key].admitted.select("url", "depth")
+
+
 def q_robots_gate(spark, sf_dir):
     """F7: robots.txt allow/deny per url via broadcast join + parser UDF."""
     from .functions.robots import robots_allowed_udf
@@ -745,6 +771,7 @@ QUERIES = {
     "host_budget_topk": q_host_budget_topk,
     "frontier_dedup": q_frontier_dedup,
     "bfs_reach": q_bfs_reach,
+    "bfs_reach_robots": q_bfs_reach_robots,
     "bfs_order": q_bfs_order,
     "bfs_depth_counts": q_bfs_depth_counts,
     "crawl_stats": q_crawl_stats,
