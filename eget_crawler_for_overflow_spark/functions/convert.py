@@ -14,6 +14,7 @@ mapInPandas → markdown column), and the shared text-cleaning step
 from __future__ import annotations
 
 import re
+import unicodedata
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -38,13 +39,30 @@ def get_converter(file_type: str) -> Callable[[bytes], str]:
         raise ValueError(f"unsupported file type: {file_type}") from None
 
 
+# ASCII fast path for the reference's per-char category test: controls
+# except \n\t (i.e. \x00-\x08, \x0b-\x1f, \x7f) -> space
+_ASCII_CTRL = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")
+
+
 def clean_text(text: str) -> str:
-    """base_converter.py:35-53: drop control chars (keep \\n\\t), normalize
-    whitespace, strip line ends."""
-    text = re.sub(r"[^\x20-\x7e\n\t -￿]", "", text)
-    text = re.sub(r"[ \t]+", " ", text)
+    """base_converter.py:35-53, operation-for-operation: control chars
+    (Unicode category C*) except \n\t become a SPACE (not deleted); runs
+    of whitespace-except-newline collapse to one space; >=3 newlines -> 2;
+    every line ``strip()``ed on BOTH ends; overall strip."""
+    if not text:
+        return ""
+    if text.isascii():
+        text = _ASCII_CTRL.sub(" ", text)
+    else:
+        text = "".join(
+            ch
+            if ch in "\n\t" or not unicodedata.category(ch).startswith("C")
+            else " "
+            for ch in text
+        )
+    text = re.sub(r"[^\S\n]+", " ", text)
     text = re.sub(r"\n{3,}", "\n\n", text)
-    return "\n".join(line.rstrip() for line in text.split("\n")).strip()
+    return "\n".join(line.strip() for line in text.split("\n")).strip()
 
 
 def _stub(kind: str) -> Callable[[bytes], str]:

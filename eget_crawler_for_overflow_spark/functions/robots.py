@@ -10,7 +10,9 @@ supports neither ``*`` nor ``$`` in paths):
 
 * rule groups keyed by ``User-agent``; the ``*`` group applies;
 * ``Allow``/``Disallow`` patterns may contain ``*`` (any chars) and a
-  trailing ``$`` (end anchor); matching is against path+query;
+  trailing ``$`` (end anchor); matching is against path+query, with BOTH
+  pattern and target percent-decoded first (library behavior), except
+  ``%2F`` which stays encoded;
 * rules are evaluated IN FILE ORDER, first match wins (MK1996 ordering,
   the library's behavior — NOT Google's longest-match);
 * an empty ``Disallow:`` matches nothing; no match ⇒ allowed;
@@ -26,7 +28,15 @@ batch, not per row.
 from __future__ import annotations
 
 import re
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
+
+
+def _unquote_keep_slash(s: str) -> str:
+    """Percent-decode like the reference library does to BOTH rule
+    patterns and target paths before matching, except %2F stays encoded
+    (an encoded slash is not a path separator)."""
+    s = re.sub("%2[fF]", "\x00", s)
+    return unquote(s).replace("\x00", "%2F")
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -43,9 +53,9 @@ class RobotRules:
     def is_allowed(self, url: str) -> bool:
         try:
             p = urlparse(url)
-            target = p.path or "/"
+            target = _unquote_keep_slash(p.path) or "/"
             if p.query:
-                target += "?" + p.query
+                target += "?" + _unquote_keep_slash(p.query)
         except ValueError:
             return True
         for allow, pat in self.rules:
@@ -60,6 +70,9 @@ class RobotRules:
 def _compile_path(pattern: str) -> re.Pattern | None:
     if not pattern:
         return None  # empty Disallow/Allow matches nothing
+    # decode BEFORE wildcard splitting (library order: an encoded %2A
+    # decodes to '*' and then acts as a wildcard)
+    pattern = _unquote_keep_slash(pattern)
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]

@@ -54,12 +54,34 @@ def clean_markdown_udf(md: pd.Series) -> pd.Series:
 # tie-break by language code; 'und' when nothing matches.
 # ---------------------------------------------------------------------------
 
+# Top-20 languages by web-text volume, 8 highest-frequency function words
+# each (public stopword-frequency lists). Word-exact matching over
+# whitespace tokens: right for space-delimited scripts; zh/ja do not
+# space-delimit, so those rows only fire on pre-tokenized text (documented
+# limitation of the whitespace-token model — the reference has no lang-id
+# at all, this is a pipeline bonus operator). Shared by the Spark engine
+# and the DuckDB oracle (single source of truth for the matrix).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "is"),
-    "es": ("el", "la", "de", "que", "los"),
-    "de": ("der", "die", "und", "das", "ist"),
-    "fr": ("le", "la", "les", "des", "est"),
-    "zh": ("de5", "shi4", "zhong", "wen2", "ni3"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "des", "est", "une", "pour", "dans"),
+    "it": ("il", "di", "che", "per", "con", "una", "sono", "del"),
+    "pt": ("o", "de", "que", "não", "uma", "para", "com", "os"),
+    "nl": ("de", "het", "een", "van", "dat", "niet", "op", "zijn"),
+    "sv": ("och", "det", "att", "som", "är", "av", "för", "den"),
+    "da": ("og", "det", "at", "der", "til", "er", "af", "ikke"),
+    "no": ("og", "det", "at", "er", "som", "på", "av", "ikke"),
+    "pl": ("nie", "się", "na", "jest", "to", "że", "do", "jak"),
+    "cs": ("je", "se", "na", "to", "že", "do", "není", "jako"),
+    "ro": ("și", "de", "la", "cu", "este", "un", "pentru", "care"),
+    "tr": ("bir", "ve", "bu", "da", "ne", "için", "çok", "ama"),
+    "ru": ("и", "в", "не", "на", "что", "с", "как", "это"),
+    "uk": ("і", "в", "не", "на", "що", "з", "як", "це"),
+    "ar": ("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا"),
+    "hi": ("है", "की", "के", "में", "और", "से", "का", "यह"),
+    "ja": ("の", "に", "は", "を", "た", "が", "で", "て"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
 }
 
 

@@ -41,9 +41,9 @@ ORACLES["extract_text_matches"] = (
     f"WITH {PAGES} SELECT TRUE AS is_equal, COUNT(*) AS n FROM pages_g GROUP BY 1"
 )
 
-ORACLES["lang_extract"] = f"WITH {PAGES} SELECT url, lang AS language FROM pages_g"
-
-ORACLES["title_extract"] = f"WITH {PAGES} SELECT url, title FROM pages_g"
+ORACLES["title_lang_extract"] = (
+    f"WITH {PAGES} SELECT url, title, lang AS language FROM pages_g"
+)
 
 ORACLES["structured_og"] = f"""
 WITH {PAGES}
@@ -271,6 +271,74 @@ FROM fp
 """
 )
 
+# ---------------------------------------------------------------------------
+# bfs_order_priority: the W2 priority frontier through the REAL crawl loop —
+# same_domain=False (multi-host graph, so per-host seen counts actually
+# reorder admission) with priority key
+#   (depth*w_d + host_seen*w_h, parent_seq, link_pos).
+# host_seen(host, g) = urls admitted in generations < g on that host — an
+# order-independent quantity (without budget the admitted SET per wave is
+# the BFS layer), so each wave's order is closed-form given the previous
+# wave's seqs. The oracle unrolls the generations (max_depth+1 waves): no
+# recursion needed, window functions allowed in every wave CTE.
+# ---------------------------------------------------------------------------
+
+PRIORITY_DEPTH = 3
+PRIORITY_W_DEPTH = 0.25
+PRIORITY_W_HOST = 1.0
+
+
+def _bfs_priority_sql(
+    max_depth: int = PRIORITY_DEPTH,
+    w_d: float = PRIORITY_W_DEPTH,
+    w_h: float = PRIORITY_W_HOST,
+) -> str:
+    def host(col: str) -> str:
+        return f"regexp_extract({col}, 'https?://([^/]+)/', 1)"
+
+    parts = [
+        f"WITH {PAGES}, {pm.duckdb_links_pos_cte(SF)},",
+        # wave 0: seeds in seed order (equal priority -> FIFO)
+        f"""adm0 AS (
+  SELECT p.url AS url, 'host' || p.host || '.example' AS host, 0 AS depth,
+         CAST(s.j AS BIGINT) AS seq
+  FROM pages_g p JOIN {_SEED_VALUES} s(i, j) ON p.i = s.i),""",
+        "seen0 AS (SELECT url, host FROM adm0),",
+    ]
+    for g in range(1, max_depth + 1):
+        parts.append(f"""cand{g} AS (
+  SELECT lp.dst AS url, a.seq AS parent_seq, lp.pos AS link_pos
+  FROM adm{g - 1} a JOIN links_pos lp ON lp.src_url = a.url
+  WHERE lp.dst LIKE 'http://%' OR lp.dst LIKE 'https://%'),
+new{g} AS (
+  SELECT url, parent_seq, link_pos FROM (
+    SELECT c.url, c.parent_seq, c.link_pos,
+           ROW_NUMBER() OVER (PARTITION BY c.url
+                              ORDER BY c.parent_seq, c.link_pos) AS rn
+    FROM cand{g} c ANTI JOIN seen{g - 1} s ON s.url = c.url)
+  WHERE rn = 1),
+hs{g} AS (SELECT host, COUNT(*) AS c FROM seen{g - 1} GROUP BY 1),
+adm{g} AS (
+  SELECT n.url, {host('n.url')} AS host, {g} AS depth,
+         (SELECT COUNT(*) FROM seen{g - 1})
+         + ROW_NUMBER() OVER (ORDER BY
+             {w_d} * {g} + COALESCE(h.c, 0) * {w_h},
+             n.parent_seq, n.link_pos) - 1 AS seq
+  FROM new{g} n LEFT JOIN hs{g} h ON h.host = {host('n.url')}),
+seen{g} AS (SELECT url, host FROM seen{g - 1}
+            UNION ALL SELECT url, host FROM adm{g}),""")
+    union = " UNION ALL ".join(
+        f"SELECT url, depth, seq FROM adm{g}" for g in range(max_depth + 1)
+    )
+    parts.append(
+        f"final AS ({union}) SELECT url, CAST(depth AS INT) AS depth, "
+        "CAST(seq AS BIGINT) AS enqueue_seq FROM final"
+    )
+    return "\n".join(parts)
+
+
+ORACLES["bfs_order_priority"] = _bfs_priority_sql()
+
 # per-generation admitted counts: with no budget/politeness the engine's
 # generation == BFS depth, so the metric rows are the per-depth counts
 ORACLES["frontier_status_counts"] = (
@@ -357,8 +425,8 @@ sched AS (
       * 4 + salt) * 2.0 AS fetch_time
   FROM cand)
 SELECT host,
-  SUM(CASE WHEN fetch_time < 10.0 THEN 1 ELSE 0 END) AS n_eligible,
-  SUM(CASE WHEN fetch_time >= 10.0 THEN 1 ELSE 0 END) AS n_deferred
+  CAST(SUM(CASE WHEN fetch_time < 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_eligible,
+  CAST(SUM(CASE WHEN fetch_time >= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deferred
 FROM sched GROUP BY 1
 """
 
@@ -790,13 +858,9 @@ FROM pchain p JOIN pnext pn ON pn.doc_id = p.doc_id AND pn.s = p.s
 # text analysis
 # ---------------------------------------------------------------------------
 
-_MARKERS = {
-    "en": ("the", "and", "of", "to", "is"),
-    "es": ("el", "la", "de", "que", "los"),
-    "de": ("der", "die", "und", "das", "ist"),
-    "fr": ("le", "la", "les", "des", "est"),
-    "zh": ("de5", "shi4", "zhong", "wen2", "ni3"),
-}
+# the engine's marker matrix is the single source of truth (top-20 langs);
+# the scoring/argmax SQL below stays an independent implementation
+from .functions.text import LANG_MARKERS as _MARKERS  # noqa: E402
 _LANG_SCORES = " UNION ALL ".join(
     f"SELECT doc_id, '{lang}' AS lang, "
     f"CAST(len(list_filter(words, x -> list_contains({list(ms)}, x))) AS INT) AS score "
@@ -825,16 +889,11 @@ SELECT doc_id,
   CAST(CASE WHEN len(words) >= 20 AND
        len(list_filter(words, x -> list_contains(['the','a','and','of','to','is','in'], lower(x)))) * 100
        >= len(words) * 5 THEN 2
-       WHEN len(words) >= 5 THEN 1 ELSE 0 END AS INT) AS quality_bucket
-FROM w
-"""
-
-ORACLES["token_count"] = """
-SELECT doc_id,
+       WHEN len(words) >= 5 THEN 1 ELSE 0 END AS INT) AS quality_bucket,
   CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
   CAST(list_sum([(length(w) + 3) // 4
         for w in string_split_regex(trim(text), '\\s+')]) AS INT) AS bpe_tokens
-FROM documents
+FROM w
 """
 
 ORACLES["doc_fingerprint"] = (
@@ -854,16 +913,16 @@ SELECT doc_id AS blob_id,
 FROM documents
 """
 
-ORACLES["event_stats"] = """
-SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
-FROM events GROUP BY 1
-"""
-
-ORACLES["duration_quantiles"] = """
-WITH r AS (
+ORACLES["events_summary"] = """
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1),
+r AS (
   SELECT event_type, value,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS cnt
-  FROM events)
-SELECT event_type, value AS median_value FROM r WHERE rn = (cnt + 1) // 2
+  FROM events),
+m AS (SELECT event_type, value AS median_value FROM r WHERE rn = (cnt + 1) // 2)
+SELECT s.event_type, s.n_events, s.n_users, m.median_value
+FROM s JOIN m ON m.event_type = s.event_type
 """

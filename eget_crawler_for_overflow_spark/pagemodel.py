@@ -164,6 +164,37 @@ def expected_links(i: int, n_pages: int, n_hosts: int) -> list[str]:
     return out
 
 
+def expected_links_all(i: int, n_pages: int, n_hosts: int) -> list[str]:
+    """``extract_links`` output for page i with ``same_domain=False`` —
+    document order, first-occurrence deduped, NO host filter. Off-domain
+    children, mailto:/javascript: pseudo-URLs (normalize keeps them; the
+    frontier's F8 guard drops them at admission, but they still consume a
+    link_pos), the offsite absolute link, and the relative ``/p/{c1}``
+    resolved against page i's OWN host (a distinct URL when host_of(c1)
+    differs) all appear."""
+    h = host_of(i, n_hosts)
+    kids = children(i, n_pages)
+    out: list[str] = []
+    seen: set[str] = set()
+
+    def add(u: str) -> None:
+        if u not in seen:
+            seen.add(u)
+            out.append(u)
+
+    add(nav_url(i, n_hosts))
+    add(url_of(kids[0], n_hosts))  # in-content "next" link
+    for c in kids:
+        add(url_of(c, n_hosts))
+    add(url_of(i, n_hosts))  # '#top' -> self
+    add("mailto:x@example.com")
+    add("javascript:void(0)")
+    add("https://offsite.example.net/x")
+    # '?utm=1' dup canonicalizes to kids[0] (always already present)
+    add(f"https://{hostname(h)}/p/{kids[1]}")  # relative link, own host
+    return out
+
+
 def page_html(i: int, doc_text: str, doc_lang: str, n_pages: int, n_hosts: int) -> str:
     h = host_of(i, n_hosts)
     kids = children(i, n_pages)
@@ -332,4 +363,38 @@ def duckdb_links_cte(sf_dir: str, name: str = "links_g", pages: str = "pages_g")
         f"UNION SELECT p.url, 'https://host' || p.host || '.example/p/' || "
         f"{ducksql_child('p.i', '1', n_pages)} FROM {pages} p"
         f")"
+    )
+
+
+def duckdb_links_pos_cte(
+    sf_dir: str, name: str = "links_pos", pages: str = "pages_g"
+) -> str:
+    """CTE of the UNFILTERED link list with document positions
+    (src_url, dst, pos) — exactly ``expected_links_all``: per-(src,dst)
+    MIN document ord, then ``row_number`` = the engine's ``posexplode``
+    link_pos over the same_domain=False links array."""
+    n_pages, n_hosts = sizing(sf_dir)
+    ck = ducksql_child("p.i", "g.k", n_pages)
+    c0 = ducksql_child("p.i", "0", n_pages)
+    c1 = ducksql_child("p.i", "1", n_pages)
+    return (
+        f"{name} AS ("
+        f"SELECT src_url, dst, CAST(row_number() OVER "
+        f"(PARTITION BY src_url ORDER BY mo) - 1 AS INT) AS pos "
+        f"FROM (SELECT src_url, dst, MIN(ord) AS mo FROM ("
+        # document order: nav, in-content c0, anchor children, #top self,
+        # mailto, javascript, offsite, (c0?utm dup omitted: never first),
+        # relative /p/{c1} on own host
+        f"SELECT p.url AS src_url, 0 AS ord, "
+        f"'https://host' || p.host || '.example/nav' AS dst FROM {pages} p "
+        f"UNION ALL SELECT p.url, 1, {ducksql_url(c0, n_hosts)} FROM {pages} p "
+        f"UNION ALL SELECT p.url, 2 + g.k, {ducksql_url(ck, n_hosts)} "
+        f"FROM {pages} p, generate_series(0, 3) g(k) WHERE g.k < 2 + p.i % 3 "
+        f"UNION ALL SELECT url, 10, url FROM {pages} "
+        f"UNION ALL SELECT url, 11, 'mailto:x@example.com' FROM {pages} "
+        f"UNION ALL SELECT url, 12, 'javascript:void(0)' FROM {pages} "
+        f"UNION ALL SELECT url, 13, 'https://offsite.example.net/x' FROM {pages} "
+        f"UNION ALL SELECT p.url, 14, 'https://host' || p.host || "
+        f"'.example/p/' || {c1} FROM {pages} p"
+        f") GROUP BY 1, 2))"
     )

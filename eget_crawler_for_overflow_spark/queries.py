@@ -90,15 +90,15 @@ def q_extract_text_matches(spark, sf_dir):
     ).groupBy("is_equal").agg(F.count("*").alias("n"))
 
 
-def q_lang_extract(spark, sf_dir):
-    return _pages(spark, sf_dir).select(
-        "url", language_udf(F.col("html")).alias("language")
-    )
-
-
-def q_title_extract(spark, sf_dir):
-    return _pages(spark, sf_dir).select(
-        "url", title_udf(F.col("html")).alias("title")
+def q_title_lang_extract(spark, sf_dir):
+    """T4 title chain + T11 language chain in one projection (merged from
+    the r02 `title_extract` / `lang_extract` rows: the driver checks at
+    most 50 queries, so per-page scalar extracts share one entry)."""
+    p = _pages(spark, sf_dir)
+    return p.select(
+        "url",
+        title_udf(F.col("html")).alias("title"),
+        language_udf(F.col("html")).alias("language"),
     )
 
 
@@ -304,6 +304,32 @@ def q_bfs_order(spark, sf_dir):
     reference simulator)."""
     res = _crawl(spark, sf_dir)
     return res.admitted.select("url", "depth", "enqueue_seq")
+
+
+def q_bfs_order_priority(spark, sf_dir):
+    """W2 priority frontier through the real crawl loop: same_domain=False
+    (multi-host BFS, so per-host seen counts genuinely reorder admission)
+    with priority key (depth*0.25 + host_seen*1.0, parent_seq, link_pos).
+    Oracle = unrolled per-generation closed form (oracles.py
+    _bfs_priority_sql)."""
+    from .oracles import PRIORITY_DEPTH, PRIORITY_W_DEPTH, PRIORITY_W_HOST
+
+    key = (sf_dir, "priority", PRIORITY_DEPTH)
+    if key not in _crawl_cache:
+        _, n_hosts = pm.sizing(sf_dir)
+        seeds = [pm.url_of(i, n_hosts) for i in CRAWL_SEED_IDS]
+        cfg = CrawlConfig(
+            max_depth=PRIORITY_DEPTH,
+            max_pages=None,
+            same_domain=False,
+            use_bloom=True,
+            priority_depth_weight=PRIORITY_W_DEPTH,
+            priority_host_weight=PRIORITY_W_HOST,
+        )
+        res = run_crawl(spark, _pages(spark, sf_dir), seeds, cfg)
+        res.admitted = res.admitted.localCheckpoint(eager=True)
+        _crawl_cache[key] = res
+    return _crawl_cache[key].admitted.select("url", "depth", "enqueue_seq")
 
 
 def q_bfs_depth_counts(spark, sf_dir):
@@ -698,13 +724,13 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_quality(spark, sf_dir):
-    return _docs(spark, sf_dir).select("doc_id", *quality_features(F.col("text")))
-
-
-def q_token_count(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    return d.select(
+    """Quality scoring + token counting in one per-doc projection (merged
+    from the r02 `quality_score` / `token_count` rows — 50-query driver
+    budget; both operators stay independently value-hashed via their own
+    columns)."""
+    return _docs(spark, sf_dir).select(
         "doc_id",
+        *quality_features(F.col("text")),
         whitespace_token_count(F.col("text")).alias("ws_tokens"),
         bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
     )
@@ -721,18 +747,16 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(blobs)
 
 
-def q_event_stats(spark, sf_dir):
+def q_events_summary(spark, sf_dir):
+    """A1 counts + A6 exact median by rank per event_type, one grouped
+    result (merged from the r02 `event_stats` / `duration_quantiles` rows —
+    the driver's correctness harness checks at most 50 queries). The median
+    picks a stored value (no float arithmetic) so the hash matches."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    stats = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
-
-
-def q_duration_quantiles(spark, sf_dir):
-    """A6: exact median by rank (both engines pick the same stored value —
-    no float arithmetic, so the hash matches)."""
-    ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     n = Window.partitionBy("event_type")
     ranked = ev.select(
@@ -741,9 +765,10 @@ def q_duration_quantiles(spark, sf_dir):
         F.row_number().over(w).alias("rn"),
         F.count("*").over(n).alias("cnt"),
     )
-    return ranked.filter(
+    medians = ranked.filter(
         F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long")
     ).select("event_type", F.col("value").alias("median_value"))
+    return stats.join(medians, on="event_type", how="inner")
 
 
 # ===========================================================================
@@ -753,8 +778,7 @@ def q_duration_quantiles(spark, sf_dir):
 QUERIES = {
     "extract_text": q_extract_text,
     "extract_text_matches": q_extract_text_matches,
-    "lang_extract": q_lang_extract,
-    "title_extract": q_title_extract,
+    "title_lang_extract": q_title_lang_extract,
     "structured_og": q_structured_og,
     "metadata_extract": q_metadata_extract,
     "extract_only_main_off": q_extract_only_main_off,
@@ -773,6 +797,7 @@ QUERIES = {
     "bfs_reach": q_bfs_reach,
     "bfs_reach_robots": q_bfs_reach_robots,
     "bfs_order": q_bfs_order,
+    "bfs_order_priority": q_bfs_order_priority,
     "bfs_depth_counts": q_bfs_depth_counts,
     "crawl_stats": q_crawl_stats,
     "frontier_status_counts": q_frontier_status_counts,
@@ -798,9 +823,13 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
-    "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_features": q_multimodal_features,
-    "event_stats": q_event_stats,
-    "duration_quantiles": q_duration_quantiles,
+    "events_summary": q_events_summary,
 }
+# NOTE: the driver's correctness harness records at most 50 queries (r02
+# checked exactly the first 50 of 52); the registry is therefore kept at
+# exactly 50 entries by merging same-table scalar projections
+# (title+lang, quality+tokens, event counts+medians) rather than
+# dropping operators.
+assert len(QUERIES) <= 50, f"driver checks at most 50 queries, got {len(QUERIES)}"

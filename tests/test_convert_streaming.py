@@ -31,10 +31,42 @@ def test_registry_dispatch_and_stub(tmp_path):
 
 
 def test_clean_text_reference_semantics():
-    assert clean_text("a\x00b\x07c") == "abc"
+    """Byte-equality against base_converter.py:40-51's documented behavior:
+    control chars (category C*, except \\n\\t) -> SPACE, whitespace runs
+    collapse, lines strip()ed on BOTH ends."""
+    assert clean_text("a\x00b\x07c") == "a b c"  # controls become spaces
     assert clean_text("a  \t b") == "a b"
     assert clean_text("a\n\n\n\n\nb") == "a\n\nb"
     assert clean_text("line   \nnext  ") == "line\nnext"
+    assert clean_text("  lead\n\tindent x") == "lead\nindent x"  # lstrip too
+    assert clean_text("a\rb") == "a b"  # \r is Cc -> space
+    assert clean_text("a​b") == "a b"  # zero-width (Cf) -> space
+    assert clean_text("caf\xe9 \xa0 x") == "caf\xe9 x"  # nbsp collapses
+
+
+def test_clean_text_differential_vs_reference_formula():
+    """Property check vs an inline replica of the reference's exact
+    operation sequence (unicodedata category test per char)."""
+    import random
+    import re as _re
+    import unicodedata as _ud
+
+    def ref(text):
+        if not text:
+            return ""
+        text = "".join(
+            ch if ch in "\n\t" or not _ud.category(ch).startswith("C") else " "
+            for ch in text
+        )
+        text = _re.sub(r"[^\S\n]+", " ", text)
+        text = _re.sub(r"\n{3,}", "\n\n", text)
+        return "\n".join(line.strip() for line in text.split("\n")).strip()
+
+    rng = random.Random(7)
+    pool = "ab c\t\n\r\x00\x07\x7f\xa0​ \xe9漢  \x1b"
+    for _ in range(500):
+        s = "".join(rng.choice(pool) for _ in range(rng.randrange(0, 40)))
+        assert clean_text(s) == ref(s), repr(s)
 
 
 def test_convert_files_pipeline(spark, tmp_path):

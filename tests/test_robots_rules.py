@@ -74,3 +74,30 @@ def test_missing_rules_allow_all():
     assert robots_allowed(f"{H}/x", None)
     assert robots_allowed(f"{H}/x", "")
     assert crawl_delay(None) == 0.0
+
+
+def test_percent_decoding_both_sides():
+    """Reference library semantics: pattern and target are both
+    percent-decoded before matching (ADVICE r2)."""
+    rt = "User-agent: *\nDisallow: /a%20b"
+    assert not robots_allowed(f"{H}/a%20b", rt)  # decoded target matches
+    assert not robots_allowed(f"{H}/a b", rt)  # already-decoded target too
+    rt2 = "User-agent: *\nDisallow: /a b"
+    assert not robots_allowed(f"{H}/a%20b", rt2)  # decoded pattern side
+
+
+def test_percent_2f_stays_encoded():
+    """%2F is NOT a path separator: an encoded slash in the URL must not
+    match a literal-slash rule, and vice versa."""
+    rt = "User-agent: *\nDisallow: /a/b"
+    assert not robots_allowed(f"{H}/a/b", rt)
+    assert robots_allowed(f"{H}/a%2Fb", rt)
+    rt2 = "User-agent: *\nDisallow: /a%2Fb"
+    assert not robots_allowed(f"{H}/a%2Fb", rt2)
+    assert robots_allowed(f"{H}/a/b", rt2)
+
+
+def test_encoded_star_becomes_wildcard():
+    """%2A decodes to '*' before wildcard splitting (library order)."""
+    rt = "User-agent: *\nDisallow: /x%2Ay"
+    assert not robots_allowed(f"{H}/xANYTHINGy", rt)

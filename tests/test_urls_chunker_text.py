@@ -119,3 +119,34 @@ def test_md_clean_reference_chain():
     assert clean_markdown("x <!-- hidden --> y") == "x  y"
     assert clean_markdown("a&nbsp;b\xa0c") == "a b c"
     assert clean_markdown("line   \t end") == "line end"
+
+
+def test_lang_id_top20_matrix(spark):
+    """lang_id over the widened 20-language stopword matrix: each language
+    detected from a sentence of its own function words; tie-break by
+    language-code order; no markers -> 'und'."""
+    from pyspark.sql import functions as F
+
+    from eget_crawler_for_overflow_spark.functions.text import (
+        LANG_MARKERS,
+        lang_id,
+    )
+
+    assert len(LANG_MARKERS) == 20
+    rows = [(lang, " ".join(ms)) for lang, ms in LANG_MARKERS.items()]
+    rows.append(("und", "zzz qqq xxx"))
+    df = spark.createDataFrame(rows, "expected string, text string")
+    got = {
+        r["expected"]: r["pred"]
+        for r in df.select(
+            "expected", lang_id(F.col("text")).alias("pred")
+        ).collect()
+    }
+    assert got["und"] == "und"
+    assert got["en"] == "en" and got["ru"] == "ru" and got["zh"] == "zh"
+    # languages with heavily-overlapping stopword sets (da/no/sv, ru/uk)
+    # may tie; the contract is deterministic code-order tie-break, so the
+    # prediction must be <= the true code alphabetically when tied
+    for lang in LANG_MARKERS:
+        score_own = sum(1 for _ in LANG_MARKERS[lang])
+        assert got[lang] <= lang or got[lang] == lang, (lang, got[lang])

@@ -77,6 +77,27 @@ def main(names=None):
             print(f"FAIL {name}: columns {scols} vs {ocols}")
             failures.append(name)
             continue
+        # dtype parity probe: the driver hashes pandas-converted values, so
+        # a DuckDB HUGEINT (SUM of ints) silently becomes float64 ("5.0")
+        # while Spark yields int64 ("5") — identical multisets, different
+        # hashes (the r02 politeness_schedule failure class). Flag any
+        # int-vs-float family mismatch as a failure.
+        dtype_warn = []
+        try:
+            spd = sdf.limit(200).toPandas()
+            opd = orel.limit(200).df()
+            for c in scols:
+                sk, ok = spd[c].dtype.kind, opd[c].dtype.kind
+                families = {"i": "int", "u": "int", "f": "float", "b": "bool"}
+                sf_, of_ = families.get(sk, "other"), families.get(ok, "other")
+                if sf_ != of_ and "other" not in (sf_, of_):
+                    dtype_warn.append(f"{c}: spark {spd[c].dtype} vs oracle {opd[c].dtype}")
+        except Exception as e:  # pragma: no cover - probe only
+            dtype_warn.append(f"dtype probe error: {e}")
+        if dtype_warn:
+            print(f"FAIL {name}: dtype mismatch {dtype_warn}")
+            failures.append(name)
+            continue
         if srows == orows:
             print(f"OK   {name}: {sum(srows.values())} rows [{time.time()-t0:.1f}s]")
         else:
