@@ -81,6 +81,12 @@ class CrawlConfig:
     n_salts: int = 8
     n_shards: int = 32
     use_bloom: bool = True
+    # "broadcast" (default, filters ≤ ~100 MB) or "files" (the 10^10-URL
+    # design point: per-shard bitmap files loaded task-side — seen.py)
+    bloom_storage: str = "broadcast"
+    # rewrite the seen table to 1 file/bucket every K generations
+    # (Iceberg rewrite_data_files analog); None = never (sandbox scale)
+    seen_compact_every: int | None = None
     max_generations: int = 64
 
 
@@ -108,7 +114,13 @@ def run_crawl(
     crawl_id: str = "crawl",
 ) -> CrawlResult:
     cfg = cfg or CrawlConfig()
-    seen = SeenSet(spark, n_shards=cfg.n_shards, use_bloom=cfg.use_bloom)
+    seen = SeenSet(
+        spark,
+        n_shards=cfg.n_shards,
+        use_bloom=cfg.use_bloom,
+        bloom_storage=cfg.bloom_storage,
+        compact_every=cfg.seen_compact_every,
+    )
     try:
         return _run_crawl(
             spark, pages, seeds, cfg, robots, checkpoint_dir, resume, crawl_id, seen
@@ -456,7 +468,9 @@ def _run_crawl(
 
         warnings.warn(
             f"crawl '{crawl_id}' stopped at max_generations="
-            f"{cfg.max_generations} with {n_left} candidates still pending",
+            f"{cfg.max_generations} with {n_left} PRE-ADMISSION candidates "
+            "still pending (some may be already-seen/invalid/over-depth — "
+            "the count is taken before the dedup/depth filters run)",
             stacklevel=2,
         )
         metrics_rows.append(

@@ -25,10 +25,21 @@ is pre-partitioned by shard id, so ~n_shards bitmaps of ~100 KB total —
 never URL rows), the driver OR-merges them and re-broadcasts the merged
 bitmaps (torrent distribution, one copy per executor). The driver therefore
 handles O(n_shards × bitmap_bytes) per generation regardless of wave size.
-At the 10^10-URL design point (~15 GB of filters, BASELINE.md) the same
-build pass writes per-shard filter files next to the table instead, and
-membership tasks load exactly their shard's file; the broadcast variant
-here is the right mechanism up to ~100 MB of filters.
+
+Two bloom storage mechanisms (``bloom_storage=``), same bits either way:
+
+* ``broadcast`` (default): driver OR-merges the per-shard delta rows and
+  broadcasts the stacked bitmaps — zero extra shuffle on the membership
+  path; right up to ~100 MB of filters.
+* ``files``: the 10^10-URL design point (~15 GB of filters, BASELINE.md).
+  The same build pass writes the per-shard bitmap deltas as parquet
+  partitioned by shard id; membership hash-partitions the wave by shard
+  and each task loads only its own shard's files. The driver never holds
+  a bitmap. Costs one wave-sized shuffle per generation — forced at the
+  design point, where broadcast is physically impossible.
+
+``test_seen_bloom.py`` proves bitmap equality between the two mechanisms
+and crawl-output equality through the full engine.
 """
 
 from __future__ import annotations
@@ -119,21 +130,60 @@ class SeenSet:
         n_shards: int = 32,
         use_bloom: bool = True,
         expected_per_shard: int = 1 << 16,
+        bloom_storage: str = "broadcast",
+        bloom_dir: str | None = None,
+        compact_every: int | None = None,
     ):
+        """``bloom_storage``:
+
+        * ``"broadcast"`` (default) — per-shard bitmaps are OR-merged on
+          the driver and broadcast; right up to ~100 MB of filters.
+        * ``"files"`` — the design-point mechanism for the 10^10-URL tier
+          (~15 GB of filters, BASELINE.md): the build pass WRITES each
+          generation's per-shard bitmap deltas as parquet partitioned by
+          shard id, and membership tasks load exactly their own shard's
+          files (the candidate wave is hash-partitioned by shard first).
+          The driver never holds a bitmap. ``bloom_dir`` must be visible
+          to every executor (a DFS path on a real cluster; defaults to a
+          local temp dir here).
+
+        ``compact_every``: after this many appends, rewrite the bucketed
+        table (and, in files mode, the bloom delta files) into one file
+        per bucket — the vanilla-Spark analog of Iceberg's
+        ``rewrite_data_files``. Bounds the file count of a long crawl at
+        n_shards × (compact_every + 1) instead of n_shards × generations.
+        ``None`` = never compact (sandbox default; a 64-generation crawl
+        accumulates ≤ 64 × n_shards small files, which is harmless here).
+        """
+        if bloom_storage not in ("broadcast", "files"):
+            raise ValueError(f"unknown bloom_storage: {bloom_storage!r}")
         self.spark = spark
         self.n_shards = n_shards
         self.use_bloom = use_bloom
+        self.bloom_storage = bloom_storage
         self.m = _bloom_m(expected_per_shard)
         self.table = f"eget_seen_{uuid.uuid4().hex[:12]}"
         self._created = False
+        import os as _os
+        import tempfile as _tempfile
+
+        self.bloom_dir = bloom_dir or _os.path.join(
+            _tempfile.gettempdir(), f"{self.table}_bloom"
+        )
+        self._bloom_written = False
         # stacked per-shard bitmaps: row s = shard s's filter
+        # (broadcast mode only; files mode never materializes them here)
         self.bits: np.ndarray | None = (
             np.zeros((n_shards, (self.m + 7) // 8), dtype=np.uint8)
-            if use_bloom
+            if use_bloom and bloom_storage == "broadcast"
             else None
         )
         self._bc = None  # current broadcast of self.bits
         self.count = 0
+        self.compact_every = compact_every
+        self._appends = 0  # appends since the last compaction
+        self._compactions = 0
+        self._base_table = self.table
         self._thread: threading.Thread | None = None
         self._thread_err: BaseException | None = None
 
@@ -183,14 +233,27 @@ class SeenSet:
         rebuild it from the per-generation admitted checkpoint tables)."""
         try:
             self.barrier()
-        except BaseException:
-            pass  # the crawl already surfaced (or swallowed) this
+        except BaseException as e:
+            # don't let teardown mask a real write failure silently
+            # (harmless for results — correctness never depends on the
+            # final generation's seen-append — but it must be visible)
+            import warnings
+
+            warnings.warn(
+                f"seen-set final append failed during drop(): {e!r}",
+                stacklevel=2,
+            )
         if self._created:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
             self._created = False
         if self._bc is not None:
             self._bc.unpersist()
             self._bc = None
+        if self._bloom_written:
+            import shutil
+
+            shutil.rmtree(self.bloom_dir, ignore_errors=True)
+            self._bloom_written = False
 
     # -- update -----------------------------------------------------------
     def add(self, admitted: DataFrame) -> None:
@@ -210,7 +273,7 @@ class SeenSet:
         )
         self._created = True
 
-        if self.bits is not None:
+        if self.use_bloom:
             n_shards, m = self.n_shards, self.m
             nbytes = (m + 7) // 8
 
@@ -238,20 +301,96 @@ class SeenSet:
                         }
                     )
 
-            rows = (
+            deltas = (
                 delta.select("url_hash")
                 .repartition(self.n_shards, F.pmod(F.col("url_hash"), F.lit(self.n_shards)))
                 .mapInPandas(build, _DELTA_SCHEMA)
-                .collect()
-            )  # ≈ n_shards rows × ~100 KB bitmaps — bounded, never URL rows
-            for r in rows:
-                self.bits[r["shard"]] |= np.frombuffer(r["bitmap"], dtype=np.uint8)
-                self.count += r["n"]
-            if self._bc is not None:
-                self._bc.unpersist()
-            self._bc = self.spark.sparkContext.broadcast(self.bits)
+            )
+            if self.bloom_storage == "files":
+                # design-point path: bitmap deltas land NEXT TO the table,
+                # partitioned by shard id; no bitmap ever reaches the
+                # driver. Membership tasks (_filter_unseen_files) load
+                # exactly their shard's files.
+                deltas.write.partitionBy("shard").mode("append").parquet(
+                    self.bloom_dir
+                )
+                self._bloom_written = True
+                self.count += delta.count()
+            else:
+                rows = deltas.collect()
+                # ≈ n_shards rows × ~100 KB bitmaps — bounded, never URL rows
+                for r in rows:
+                    self.bits[r["shard"]] |= np.frombuffer(r["bitmap"], dtype=np.uint8)
+                    self.count += r["n"]
+                if self._bc is not None:
+                    self._bc.unpersist()
+                self._bc = self.spark.sparkContext.broadcast(self.bits)
         else:
             self.count += delta.count()
+
+        self._appends += 1
+        if self.compact_every is not None and self._appends >= self.compact_every:
+            self._compact()
+
+    def _compact(self) -> None:
+        """Rewrite the accumulated set into one file per bucket (Iceberg
+        ``rewrite_data_files`` analog). Runs on the async add thread, so
+        it overlaps the crawl's fetch/extract phase like any other seen
+        maintenance; the next ``filter_unseen`` barriers on it. Bucketing
+        is preserved, so the anti-join scan stays exchange-free."""
+        self._compactions += 1
+        new_table = f"{self._base_table}_c{self._compactions}"
+        # read the table's files as PLAIN parquet: reading through the
+        # catalog keeps the bucketing metadata and the planner then elides
+        # the repartition exchange as redundant — tasks end up holding
+        # mixed buckets and the writer splits them back into many files
+        # (measured: 10 files instead of n_shards)
+        loc = (
+            self.spark.sql(f"DESC FORMATTED {self.table}")
+            .filter(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        )
+        (
+            self.spark.read.parquet(loc)
+            .select("url_hash", "url", "host")
+            .repartition(self.n_shards, F.col("url_hash"))
+            .write.bucketBy(self.n_shards, "url_hash")
+            .sortBy("url_hash")
+            .mode("overwrite")
+            .saveAsTable(new_table)
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        self.table = new_table
+        if self._bloom_written:
+            # merge each shard's bitmap delta files into one row
+            nbytes = (self.m + 7) // 8
+
+            def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+                bm = np.zeros(nbytes, dtype=np.uint8)
+                for buf in pdf["bitmap"]:
+                    bm |= np.frombuffer(buf, dtype=np.uint8)
+                return pd.DataFrame(
+                    {
+                        "shard": [int(pdf["shard"].iloc[0])],
+                        "bitmap": [bm.tobytes()],
+                        "n": [int(pdf["n"].sum())],
+                    }
+                )
+
+            new_dir = f"{self.bloom_dir}_c{self._compactions}"
+            (
+                self.spark.read.parquet(self.bloom_dir)
+                .groupBy("shard")
+                .applyInPandas(merge, _DELTA_SCHEMA)
+                .write.partitionBy("shard")
+                .mode("overwrite")
+                .parquet(new_dir)
+            )
+            import shutil
+
+            shutil.rmtree(self.bloom_dir, ignore_errors=True)
+            self.bloom_dir = new_dir
+        self._appends = 0
 
     # -- membership ---------------------------------------------------------
     def filter_unseen(self, cand: DataFrame, hash_col: str = "url_hash") -> DataFrame:
@@ -260,7 +399,15 @@ class SeenSet:
         Bloom prefilter splits candidates into definitely-new (bypass the
         join) and maybe-seen (exact anti-join); the union is exact. The
         anti-join's right side is the bucketed table scan — no exchange on
-        the accumulated set."""
+        the accumulated set.
+
+        CONTRACT: ``cand``'s lineage must be DETERMINISTIC (or already
+        materialized — the crawl loop always passes a localCheckpoint'ed
+        frame). The two union branches re-execute ``cand`` independently
+        (no checkpoint here, by design: the bloom mark is cheap pure-numpy
+        and a wave-sized materialization barrier per generation is not);
+        a nondeterministic input could send a row down both or neither
+        branch."""
         self.barrier()
         if not self._created or self.count == 0:
             if not self._created and self.count == 0:
@@ -269,6 +416,12 @@ class SeenSet:
             return cand.join(self.df.select(hash_col), on=hash_col, how="left_anti")
 
         if self.bits is None or self._bc is None:
+            if (
+                self.use_bloom
+                and self.bloom_storage == "files"
+                and self._bloom_written
+            ):
+                return self._filter_unseen_files(cand, hash_col)
             return cand.join(self.df.select(hash_col), on=hash_col, how="left_anti")
 
         bc = self._bc
@@ -289,9 +442,9 @@ class SeenSet:
                 for s in np.unique(shard):
                     msk = shard == s
                     res[msk] = _bloom_test(bits[s], h[msk], m)
-                pdf = pdf.copy()
-                pdf["__maybe_seen"] = res
-                yield pdf
+                # shallow column-add (no deep copy of the url/html
+                # payload columns — they can dominate memory bandwidth)
+                yield pdf.assign(__maybe_seen=res)
 
         marked = cand.mapInPandas(mark, maybe_schema)
         # no checkpoint: the two union branches re-run the (cheap, pure-
@@ -302,3 +455,80 @@ class SeenSet:
         maybe = marked.filter(F.col("__maybe_seen")).drop("__maybe_seen")
         checked = maybe.join(self.df.select(hash_col), on=hash_col, how="left_anti")
         return fresh.unionByName(checked)
+
+    def _filter_unseen_files(self, cand: DataFrame, hash_col: str) -> DataFrame:
+        """File-backed bloom membership (the 10^10-URL design point): the
+        wave is hash-partitioned into n_shards tasks keyed by shard id, so
+        each task loads and OR-merges ONLY its own shard's bitmap delta
+        files (parquet under ``bloom_dir/shard=<s>/``) — one ~100 KB-scale
+        read per shard per wave, independent of total filter size. The
+        shuffle this adds is wave-sized (the broadcast variant has none);
+        at the design point that trade is forced: ~15 GB of filters cannot
+        be broadcast. Exactness is unchanged — "maybe seen" still goes
+        through the bucketed anti-join."""
+        n_shards, m = self.n_shards, self.m
+        bloom_dir = self.bloom_dir
+        nbytes = (m + 7) // 8
+
+        maybe_schema = T.StructType(
+            list(cand.schema.fields) + [T.StructField("__maybe_seen", T.BooleanType())]
+        )
+
+        def mark(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import glob
+
+            import pyarrow.parquet as pq
+
+            loaded: dict[int, np.ndarray] = {}
+
+            def bits_for(s: int) -> np.ndarray:
+                bm = loaded.get(s)
+                if bm is None:
+                    bm = np.zeros(nbytes, dtype=np.uint8)
+                    for f in sorted(glob.glob(f"{bloom_dir}/shard={s}/*.parquet")):
+                        t = pq.read_table(f, columns=["bitmap"])
+                        for buf in t.column("bitmap").to_pylist():
+                            bm |= np.frombuffer(buf, dtype=np.uint8)
+                    loaded[s] = bm
+                return bm
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                h = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+                shard = (h % np.uint64(n_shards)).astype(np.int64)
+                res = np.zeros(len(pdf), dtype=bool)
+                for s in np.unique(shard):
+                    msk = shard == s
+                    res[msk] = _bloom_test(bits_for(int(s)), h[msk], m)
+                # shallow column-add (no deep copy of the url/html
+                # payload columns — they can dominate memory bandwidth)
+                yield pdf.assign(__maybe_seen=res)
+
+        # route each row to its shard's task (same pmod placement the
+        # build pass used, so ~1 shard file-set load per task)
+        cand2 = cand.repartition(
+            self.n_shards, F.pmod(F.col(hash_col), F.lit(self.n_shards))
+        )
+        marked = cand2.mapInPandas(mark, maybe_schema)
+        fresh = marked.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+        maybe = marked.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+        checked = maybe.join(self.df.select(hash_col), on=hash_col, how="left_anti")
+        return fresh.unionByName(checked)
+
+    def merged_file_bits(self) -> np.ndarray:
+        """Driver-side OR-merge of every written bitmap delta file —
+        TEST/AUDIT surface only (the engine path never does this)."""
+        self.barrier()
+        import glob
+
+        import pyarrow.parquet as pq
+
+        nbytes = (self.m + 7) // 8
+        out = np.zeros((self.n_shards, nbytes), dtype=np.uint8)
+        for s in range(self.n_shards):
+            for f in sorted(glob.glob(f"{self.bloom_dir}/shard={s}/*.parquet")):
+                t = pq.read_table(f, columns=["bitmap"])
+                for buf in t.column("bitmap").to_pylist():
+                    out[s] |= np.frombuffer(buf, dtype=np.uint8)
+        return out

@@ -37,7 +37,8 @@ def pages(spark):
     return load_pages(spark, SF)
 
 
-def test_no_wave_sized_collect(spark, pages, monkeypatch):
+@pytest.mark.parametrize("bloom_storage", ["broadcast", "files"])
+def test_no_wave_sized_collect(spark, pages, monkeypatch, bloom_storage):
     sizes = []
     orig = DataFrame.collect
 
@@ -48,7 +49,10 @@ def test_no_wave_sized_collect(spark, pages, monkeypatch):
 
     monkeypatch.setattr(DataFrame, "collect", spy)
     seeds = [pm.url_of(i, N_HOSTS) for i in range(8)]
-    cfg = CrawlConfig(max_depth=4, max_pages=None, same_domain=False)
+    cfg = CrawlConfig(
+        max_depth=4, max_pages=None, same_domain=False,
+        bloom_storage=bloom_storage,  # files mode: NO bitmap collect at all
+    )
     res = run_crawl(spark, pages, seeds, cfg)
     monkeypatch.undo()
 

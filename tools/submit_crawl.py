@@ -86,7 +86,12 @@ def main() -> None:
         checkpoint_dir=args.checkpoint,
         resume=args.resume,
     )
-    res.extracted.write.mode("overwrite").parquet(args.output)
+    if res.extracted is not None:
+        res.extracted.write.mode("overwrite").parquet(args.output)
+    else:
+        # every seed was dropped by the invalid-URL guard (or depth 0 with
+        # no admissible seeds): still a clean exit with an empty result
+        print("warning: nothing admitted — no extracted rows to write")
     res.metrics.write.mode("overwrite").parquet(args.output + "_metrics")
     print(
         f"crawl done: generations={res.generations} "
