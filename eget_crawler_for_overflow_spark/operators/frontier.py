@@ -286,8 +286,12 @@ def _run_crawl(
             t0 = _t("assign_seq", t0)
             if use_priority:
                 admitted_g = admitted_g.drop("priority")
-            admitted_g = admitted_g.localCheckpoint(eager=True)
-            t0 = _t("admitted-checkpoint", t0)
+            # no extra checkpoint: assign_seq already pinned its sorted
+            # parent (ordering.py localCheckpoint), so every downstream
+            # consumer (seen add, fetch join, final union, commit) re-runs
+            # only the cheap deterministic offset-add pandas pass — one
+            # materialization job per generation instead of two
+            t0 = _t("admitted-plan", t0)
             next_seq += n_adm
             admitted_count += n_adm
             metrics_rows.append((crawl_id, g, "admitted", float(n_adm)))
