@@ -244,11 +244,27 @@ def _run_crawl(
                     | robots_allowed_udf(F.col("url"), F.col("rules_text"))
                 )
                 c = c.drop("rules_text")
-            # first-wins inside the wave (queue_manager.py:47 under lock)
-            w = Window.partitionBy("url").orderBy("parent_seq", "link_pos")
-            c = c.withColumn("__rn", F.row_number().over(w)).filter(
-                F.col("__rn") == 1
-            ).drop("__rn")
+            # first-wins inside the wave (queue_manager.py:47 under lock):
+            # min-struct aggregation, NOT a row_number window — a hash agg
+            # gets map-side partial aggregation, so the many duplicate
+            # edges into a popular url collapse BEFORE the shuffle (a
+            # window must shuffle every candidate row first). The struct
+            # leads with (parent_seq, link_pos) — unique per row — so the
+            # min is exactly the window's first row.
+            other_cols = [f.name for f in c.schema.fields if f.name != "url"]
+            c = (
+                c.groupBy("url")
+                .agg(
+                    F.min(
+                        F.struct(
+                            "parent_seq",
+                            "link_pos",
+                            *[x for x in other_cols if x not in ("parent_seq", "link_pos")],
+                        )
+                    ).alias("__m")
+                )
+                .select("url", *[F.col(f"__m.{x}").alias(x) for x in other_cols])
+            )
             c = c.withColumn("url_hash", F.xxhash64(F.col("url")))
             c = seen.filter_unseen(c)
             if cfg.host_budget is not None:

@@ -104,3 +104,26 @@ def test_budget_topk_is_take_ordered(spark):
     )
     df = top_k(pages, ["k"], 10)
     assert "TakeOrderedAndProject" in plan_text(df, "simple")
+
+
+def test_first_wins_dedup_has_mapside_partial_agg(spark):
+    """The admission first-wins dedup must be a min-struct AGGREGATION
+    (partial agg collapses duplicate edges map-side, BEFORE the shuffle),
+    never a row_number window (which shuffles every candidate row)."""
+    c = spark.range(1000).select(
+        (F.col("id") % 97).cast("string").alias("url"),
+        F.col("id").alias("parent_seq"),
+        (F.col("id") % 5).cast("int").alias("link_pos"),
+        F.lit(1).alias("depth"),
+    )
+    other = ["parent_seq", "link_pos", "depth"]
+    agg = (
+        c.groupBy("url")
+        .agg(F.min(F.struct(*other)).alias("__m"))
+        .select("url", *[F.col(f"__m.{x}").alias(x) for x in other])
+    )
+    txt = plan_text(agg)
+    assert "Window" not in txt, txt
+    # a partial aggregate must appear upstream of the exchange
+    pre_exchange = txt.split("Exchange", 1)[-1]
+    assert "Aggregate" in pre_exchange, txt
