@@ -287,3 +287,45 @@ def test_resume_with_politeness_deferred(spark, pages, tmp_path):
         for r in resumed.metrics.filter(F.col("name") == "admitted").collect()
     }
     assert 0 in gens_in_metrics and 1 in gens_in_metrics
+
+
+def test_priority_with_politeness_preserves_set(spark, pages):
+    """Priority weights combined with crawl-delay windows: priority only
+    REORDERS admission within waves and politeness only DEFERS fetches —
+    neither may change the admitted (url, depth) SET of the plain crawl
+    (VERDICT r2 §next-8 follow-on / ROADMAP r3 §gap-5)."""
+    robots_df = spark.createDataFrame(
+        [("host0.example", "User-agent: *\nCrawl-delay: 2")],
+        "host string, rules_text string",
+    )
+    seeds = seeds_host0()
+    plain = CrawlConfig(max_depth=3, max_pages=None, same_domain=False)
+    combo = CrawlConfig(
+        max_depth=3,
+        max_pages=None,
+        same_domain=False,
+        respect_robots=True,
+        crawl_delay_window=8.0,
+        n_salts=2,
+        max_generations=64,
+        priority_depth_weight=0.25,
+        priority_host_weight=1.0,
+    )
+    res_plain = run_crawl(spark, pages, seeds, plain)
+    res_combo = run_crawl(spark, pages, seeds, combo, robots=robots_df)
+    plain_set = {(r["url"], r["depth"]) for r in res_plain.admitted.collect()}
+    combo_set = {(r["url"], r["depth"]) for r in res_combo.admitted.collect()}
+    assert plain_set == combo_set
+    # the deferral actually engaged (host0 carries ~50% of pages)
+    assert res_combo.generations >= res_plain.generations
+    # and priority actually reordered at least one wave: within some
+    # generation the enqueue_seq order must differ from plain FIFO order
+    plain_order = [
+        r["url"]
+        for r in res_plain.admitted.orderBy("enqueue_seq").collect()
+    ]
+    combo_order = [
+        r["url"]
+        for r in res_combo.admitted.orderBy("enqueue_seq").collect()
+    ]
+    assert plain_order != combo_order
