@@ -208,7 +208,7 @@ def main() -> None:
     # variance it was drawn from)
     crawl_reps = []
     n_crawled = None
-    for _ in range(int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "3"))):
+    for _ in range(max(1, int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "3")))):
         t, n = timed(crawl_job)
         crawl_reps.append(round(t, 3))
         n_crawled = n

@@ -31,12 +31,19 @@ import re
 from urllib.parse import unquote, urlparse
 
 
+_PCT_2F = re.compile("(%2[fF])")
+
+
 def _unquote_keep_slash(s: str) -> str:
     """Percent-decode like the reference library does to BOTH rule
     patterns and target paths before matching, except %2F stays encoded
-    (an encoded slash is not a path separator)."""
-    s = re.sub("%2[fF]", "\x00", s)
-    return unquote(s).replace("\x00", "%2F")
+    (an encoded slash is not a path separator). Split-and-rejoin instead
+    of a placeholder character, so no input byte (e.g. %00 or a literal
+    NUL) can collide with a sentinel."""
+    parts = _PCT_2F.split(s)
+    return "".join(
+        p if _PCT_2F.fullmatch(p) else unquote(p) for p in parts
+    )
 
 import pandas as pd
 from pyspark.sql import functions as F

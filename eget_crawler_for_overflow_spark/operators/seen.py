@@ -123,6 +123,44 @@ class BloomShard:
 _DELTA_SCHEMA = "shard int, bitmap binary, n long"
 
 
+def _bloom_fs(bloom_dir: str):
+    """(pyarrow FileSystem, base path) for the bloom dir — handles DFS
+    URIs (s3://, hdfs://, ...) as well as local paths, so file-mode bloom
+    reads work wherever the Spark writer could put the files."""
+    from pyarrow import fs as pafs
+
+    if "://" in bloom_dir:
+        return pafs.FileSystem.from_uri(bloom_dir)
+    return pafs.LocalFileSystem(), bloom_dir
+
+
+def _list_bloom_files(bloom_dir: str, shard: int | None = None):
+    """Sorted parquet file paths under the bloom dir (one shard's
+    partition, or all of it). Missing dirs list as empty, never raise."""
+    from pyarrow import fs as pafs
+
+    fsys, base = _bloom_fs(bloom_dir)
+    sel = pafs.FileSelector(
+        f"{base}/shard={shard}" if shard is not None else base,
+        recursive=shard is None,
+        allow_not_found=True,
+    )
+    files = sorted(
+        i.path
+        for i in fsys.get_file_info(sel)
+        if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+    )
+    return fsys, files
+
+
+def _delete_bloom_dir(bloom_dir: str) -> None:
+    try:
+        fsys, base = _bloom_fs(bloom_dir)
+        fsys.delete_dir(base)
+    except Exception:
+        pass  # best-effort cleanup of a temp artifact
+
+
 class SeenSet:
     def __init__(
         self,
@@ -250,9 +288,7 @@ class SeenSet:
             self._bc.unpersist()
             self._bc = None
         if self._bloom_written:
-            import shutil
-
-            shutil.rmtree(self.bloom_dir, ignore_errors=True)
+            _delete_bloom_dir(self.bloom_dir)
             self._bloom_written = False
 
     # -- update -----------------------------------------------------------
@@ -315,7 +351,17 @@ class SeenSet:
                     self.bloom_dir
                 )
                 self._bloom_written = True
-                self.count += delta.count()
+                # every admitted url appears in exactly one delta row's n
+                # (admission is first-wins + unseen), so the total count is
+                # the sum of n over ALL written delta rows — a column-
+                # pruned read of ~n_shards×generations tiny rows, not a
+                # wave-sized re-execution of the admitted lineage
+                self.count = (
+                    self.spark.read.parquet(self.bloom_dir)
+                    .agg(F.sum("n").alias("t"))
+                    .collect()[0]["t"]
+                    or 0
+                )
             else:
                 rows = deltas.collect()
                 # ≈ n_shards rows × ~100 KB bitmaps — bounded, never URL rows
@@ -359,8 +405,20 @@ class SeenSet:
             .mode("overwrite")
             .saveAsTable(new_table)
         )
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
-        self.table = new_table
+        # swap the pointer FIRST: if the drop of the old table fails, the
+        # stale OLD table leaks (best-effort warned below) but the live
+        # pointer — and drop()'s eventual cleanup — always tracks the
+        # table that actually holds the data
+        old_table, self.table = self.table, new_table
+        try:
+            self.spark.sql(f"DROP TABLE IF EXISTS {old_table}")
+        except Exception as e:  # pragma: no cover - warehouse hiccup
+            import warnings
+
+            warnings.warn(
+                f"compaction could not drop old seen table {old_table}: {e!r}",
+                stacklevel=2,
+            )
         if self._bloom_written:
             # merge each shard's bitmap delta files into one row
             nbytes = (self.m + 7) // 8
@@ -386,9 +444,7 @@ class SeenSet:
                 .mode("overwrite")
                 .parquet(new_dir)
             )
-            import shutil
-
-            shutil.rmtree(self.bloom_dir, ignore_errors=True)
+            _delete_bloom_dir(self.bloom_dir)
             self.bloom_dir = new_dir
         self._appends = 0
 
@@ -470,13 +526,27 @@ class SeenSet:
         bloom_dir = self.bloom_dir
         nbytes = (m + 7) // 8
 
+        # fail-safe: a zero bitmap marks everything "definitely new" and
+        # BYPASSES the exact join — the one direction a bloom must never
+        # be wrong in. If the driver cannot see a single delta file under
+        # bloom_dir (wrong/unreachable path), don't trust empty bitmaps:
+        # warn and fall back to the plain exact anti-join.
+        _, any_files = _list_bloom_files(bloom_dir)
+        if not any_files:
+            import warnings
+
+            warnings.warn(
+                f"bloom files unreadable under {bloom_dir!r}; falling back "
+                "to the exact anti-join for this wave",
+                stacklevel=2,
+            )
+            return cand.join(self.df.select(hash_col), on=hash_col, how="left_anti")
+
         maybe_schema = T.StructType(
             list(cand.schema.fields) + [T.StructField("__maybe_seen", T.BooleanType())]
         )
 
         def mark(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import glob
-
             import pyarrow.parquet as pq
 
             loaded: dict[int, np.ndarray] = {}
@@ -485,8 +555,9 @@ class SeenSet:
                 bm = loaded.get(s)
                 if bm is None:
                     bm = np.zeros(nbytes, dtype=np.uint8)
-                    for f in sorted(glob.glob(f"{bloom_dir}/shard={s}/*.parquet")):
-                        t = pq.read_table(f, columns=["bitmap"])
+                    fsys, files = _list_bloom_files(bloom_dir, s)
+                    for f in files:
+                        t = pq.read_table(f, columns=["bitmap"], filesystem=fsys)
                         for buf in t.column("bitmap").to_pylist():
                             bm |= np.frombuffer(buf, dtype=np.uint8)
                     loaded[s] = bm
@@ -520,15 +591,14 @@ class SeenSet:
         """Driver-side OR-merge of every written bitmap delta file —
         TEST/AUDIT surface only (the engine path never does this)."""
         self.barrier()
-        import glob
-
         import pyarrow.parquet as pq
 
         nbytes = (self.m + 7) // 8
         out = np.zeros((self.n_shards, nbytes), dtype=np.uint8)
         for s in range(self.n_shards):
-            for f in sorted(glob.glob(f"{self.bloom_dir}/shard={s}/*.parquet")):
-                t = pq.read_table(f, columns=["bitmap"])
+            fsys, files = _list_bloom_files(self.bloom_dir, s)
+            for f in files:
+                t = pq.read_table(f, columns=["bitmap"], filesystem=fsys)
                 for buf in t.column("bitmap").to_pylist():
                     out[s] |= np.frombuffer(buf, dtype=np.uint8)
         return out

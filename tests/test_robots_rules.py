@@ -101,3 +101,13 @@ def test_encoded_star_becomes_wildcard():
     """%2A decodes to '*' before wildcard splitting (library order)."""
     rt = "User-agent: *\nDisallow: /x%2Ay"
     assert not robots_allowed(f"{H}/xANYTHINGy", rt)
+
+
+def test_percent_00_is_not_a_slash_sentinel():
+    """%00 (or a literal NUL) must not be confused with %2F by the
+    decoder's slash-preservation mechanism."""
+    rt = "User-agent: *\nDisallow: /a%2Fb"
+    assert robots_allowed(f"{H}/a%00b", rt)  # NUL is not an encoded slash
+    rt2 = "User-agent: *\nDisallow: /a%00b"
+    assert not robots_allowed(f"{H}/a%00b", rt2)  # but it matches itself
+    assert robots_allowed(f"{H}/a%2Fb", rt2)

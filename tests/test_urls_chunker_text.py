@@ -144,9 +144,20 @@ def test_lang_id_top20_matrix(spark):
     }
     assert got["und"] == "und"
     assert got["en"] == "en" and got["ru"] == "ru" and got["zh"] == "zh"
-    # languages with heavily-overlapping stopword sets (da/no/sv, ru/uk)
-    # may tie; the contract is deterministic code-order tie-break, so the
-    # prediction must be <= the true code alphabetically when tied
-    for lang in LANG_MARKERS:
-        score_own = sum(1 for _ in LANG_MARKERS[lang])
-        assert got[lang] <= lang or got[lang] == lang, (lang, got[lang])
+
+    # true differential: replicate the scoring contract in Python
+    # (marker-token count per language, argmax, alphabetical tie-break,
+    # all-zero -> 'und') and require the engine to match it EXACTLY for
+    # every language's own marker sentence — overlapping stopword sets
+    # (da/no/sv, ru/uk) tie-break deterministically, not arbitrarily
+    def expected_pred(text):
+        toks = text.lower().split()
+        scores = {
+            lang: sum(toks.count(m) for m in ms)
+            for lang, ms in LANG_MARKERS.items()
+        }
+        best = max(sorted(scores), key=lambda lg: scores[lg])
+        return best if scores[best] > 0 else "und"
+
+    for lang, ms in LANG_MARKERS.items():
+        assert got[lang] == expected_pred(" ".join(ms)), (lang, got[lang])

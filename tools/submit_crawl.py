@@ -90,8 +90,14 @@ def main() -> None:
         res.extracted.write.mode("overwrite").parquet(args.output)
     else:
         # every seed was dropped by the invalid-URL guard (or depth 0 with
-        # no admissible seeds): still a clean exit with an empty result
-        print("warning: nothing admitted — no extracted rows to write")
+        # no admissible seeds): clean exit, and REMOVE any stale output so
+        # a consumer can never pair an old extracted table with this run's
+        # fresh metrics
+        import shutil
+
+        shutil.rmtree(args.output, ignore_errors=True)
+        print("warning: nothing admitted — no extracted rows to write "
+              f"(stale {args.output} removed if present)")
     res.metrics.write.mode("overwrite").parquet(args.output + "_metrics")
     print(
         f"crawl done: generations={res.generations} "
