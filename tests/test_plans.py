@@ -127,3 +127,25 @@ def test_first_wins_dedup_has_mapside_partial_agg(spark):
     # a partial aggregate must appear upstream of the exchange
     pre_exchange = txt.split("Exchange", 1)[-1]
     assert "Aggregate" in pre_exchange, txt
+
+
+def test_fetch_join_broadcasts_wave_never_shuffles_pages(spark):
+    """The per-generation fetch is pages ⋈ broadcast(wave): the 100 TB
+    pages table must appear below a BroadcastHashJoin as a plain scan —
+    no Exchange may sit between the parquet scan and the join (the wave
+    is the build side; pages are only ever scanned)."""
+    pages = load_pages(spark, SF)
+    wave = pages.select("url").limit(50)
+    hits = pages.select("url", "html").join(F.broadcast(wave), on="url", how="inner")
+    txt = plan_text(hits)
+    assert "BroadcastHashJoin" in txt, txt
+    # the probe (streamed) side of the broadcast join must be the scan
+    # itself: no shuffle exchange anywhere in this plan (the only
+    # exchange allowed is the broadcast one)
+    import re as _re
+
+    shuffles = [
+        ln for ln in txt.splitlines()
+        if _re.search(r"\bExchange hashpartitioning|\bExchange rangepartitioning", ln)
+    ]
+    assert not shuffles, shuffles
