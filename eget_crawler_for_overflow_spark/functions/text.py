@@ -85,11 +85,39 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+# zh/ja do not space-delimit, so the whitespace-token matrix above never
+# fires on natural text in those scripts (VERDICT r3 item 8). For them a
+# CHARACTER-BIGRAM path counts substring occurrences of high-frequency
+# function bigrams — pure built-ins (length/replace), value-exact across
+# engines: occurrences(m) = (len(t) - len(replace(t, m, ''))) / len(m).
+# Both matrices are single-sourced here; oracles.py generates the DuckDB
+# SQL from them.
+LANG_CHAR_MARKERS: dict[str, tuple[str, ...]] = {
+    # common Japanese function bigrams (copula/verb endings + pronouns)
+    "ja": ("です", "ます", "した", "こと", "それ", "して", "いる", "ある"),
+    # common Chinese function bigrams (pronouns/quantifiers/negation)
+    "zh": ("我们", "一个", "没有", "这个", "什么", "他们", "自己", "可以"),
+}
+
+
+def lang_char_score(text_col: Column, lang: str) -> Column:
+    score = F.lit(0)
+    for m in LANG_CHAR_MARKERS[lang]:
+        occ = (
+            F.length(text_col)
+            - F.length(F.replace(text_col, F.lit(m), F.lit("")))
+        ) / F.lit(len(m))
+        score = score + occ.cast("int")
+    return score
+
+
 def lang_score(text_col: Column, lang: str) -> Column:
     words = F.split(F.lower(text_col), r"\s+")
     score = F.lit(0)
     for marker in LANG_MARKERS[lang]:
         score = score + F.size(F.filter(words, lambda w: w == F.lit(marker)))
+    if lang in LANG_CHAR_MARKERS:
+        score = score + lang_char_score(text_col, lang)
     return score
 
 

@@ -34,7 +34,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -43,7 +43,7 @@ from ..functions.robots import crawl_delay_udf, robots_allowed_udf
 from ..functions.urls import host_of_url
 from ..sources.checkpoint import CheckpointManager
 from .ordering import assign_seq_counted, top_k
-from .politeness import salted_fetch_schedule
+from .politeness import salted_fetch_schedule, salted_host_budget_cap
 from .seen import SeenSet
 
 CAND_SCHEMA = T.StructType(
@@ -84,8 +84,18 @@ class CrawlConfig:
     # "broadcast" (default, filters ≤ ~100 MB) or "files" (the 10^10-URL
     # design point: per-shard bitmap files loaded task-side — seen.py)
     bloom_storage: str = "broadcast"
-    # rewrite the seen table to 1 file/bucket every K generations
-    # (Iceberg rewrite_data_files analog); None = never (sandbox scale)
+    # Rewrite the seen table to 1 file/bucket every K generations
+    # (Iceberg rewrite_data_files analog); None = never (sandbox scale).
+    # Decision rule: the seen set accumulates n_shards files per
+    # generation, and every membership anti-join opens all of them — so
+    # compact when expected generations × n_shards outgrows a healthy
+    # open-file count per task (~a few hundred files per bucket). Concretely:
+    # crawls ≤ 64 generations → None (≤ 64 files/bucket is harmless);
+    # unbounded drains / the 10^10-URL design point (hundreds-thousands of
+    # generations) → set K so K+1 bounds files/bucket, e.g. K=4-16.
+    # Compaction runs on the async maintenance thread (overlaps
+    # fetch/extract) and rewrites O(accumulated) bytes every K generations
+    # — amortized cost O(seen/K) per generation, the standard LSM trade.
     seen_compact_every: int | None = None
     max_generations: int = 64
 
@@ -156,6 +166,31 @@ def _run_crawl(
     extracted_gens: list[DataFrame] = []
     metrics_rows: list[tuple] = []
 
+    use_priority = (
+        cfg.priority_depth_weight != 0.0 or cfg.priority_host_weight != 0.0
+    )
+    # Priority frontier (W2): per-host admitted counts, maintained
+    # INCREMENTALLY — one O(wave)+O(hosts-touched) grouped agg per
+    # generation, pinned by localCheckpoint. The naive alternative
+    # (seen.df.groupBy("host").count() each wave) rescans the whole
+    # accumulated seen table every generation and broadcasts one row per
+    # distinct host — a growing cost at the 10^10-URL design point
+    # (~10^7-10^8 hosts). This table's size is bounded by hosts *touched*,
+    # its per-generation update cost by the wave, independent of seen size
+    # (structural test: test_engine.py priority-path seen-access parity).
+    host_counts: DataFrame | None = None
+
+    def bump_host_counts(admitted_g: DataFrame) -> None:
+        nonlocal host_counts
+        delta = admitted_g.groupBy("host").agg(F.count("*").alias("__host_seen"))
+        if host_counts is not None:
+            delta = (
+                host_counts.unionByName(delta)
+                .groupBy("host")
+                .agg(F.sum("__host_seen").alias("__host_seen"))
+            )
+        host_counts = delta.localCheckpoint(eager=True)
+
     cand = spark.createDataFrame(
         [(u, 0, None, -1, j) for j, u in enumerate(seeds)], CAND_SCHEMA
     )
@@ -195,6 +230,8 @@ def _run_crawl(
             # the old per-generation seen-table checkpoint
             if admitted_gens:
                 seen.add(_union_all(admitted_gens))
+                if use_priority:
+                    bump_host_counts(_union_all(admitted_gens))
 
     robots_b = F.broadcast(robots) if robots is not None else None
     trace = os.environ.get("EGET_CRAWL_TIMING") == "1"
@@ -268,19 +305,29 @@ def _run_crawl(
             c = c.withColumn("url_hash", F.xxhash64(F.col("url")))
             c = seen.filter_unseen(c)
             if cfg.host_budget is not None:
-                hw = Window.partitionBy("host").orderBy("parent_seq", "link_pos")
-                c = c.withColumn("__hr", F.row_number().over(hw)).filter(
-                    F.col("__hr") <= cfg.host_budget
-                ).drop("__hr")
-            order_cols = ["parent_seq", "link_pos"]
-            use_priority = (
-                cfg.priority_depth_weight != 0.0 or cfg.priority_host_weight != 0.0
-            )
-            if use_priority:
-                host_counts = seen.df.groupBy("host").agg(
-                    F.count("*").alias("__host_seen")
+                # salted two-phase cap: phase-1 ranks within (host, salt)
+                # so no task sorts the mega-host's full candidate set;
+                # phase-2 re-ranks the ≤ n_salts×budget survivors per host
+                # (config-bounded partition). Exact vs the single-window
+                # rank — politeness.py salted_host_budget_cap.
+                c = salted_host_budget_cap(
+                    c,
+                    ["parent_seq", "link_pos"],
+                    cfg.host_budget,
+                    n_salts=cfg.n_salts,
                 )
-                c = c.join(F.broadcast(host_counts), on="host", how="left")
+            order_cols = ["parent_seq", "link_pos"]
+            if use_priority:
+                # plain equi-join on host: both sides shuffle by host —
+                # O(wave + hosts touched), never a rescan of the seen set
+                # and never a broadcast of ALL hosts. At sandbox scale AQE
+                # auto-broadcasts the tiny counts side; at 10^8 hosts it
+                # stays a shuffle join with AQE skew-split as the mega-host
+                # backstop.
+                if host_counts is not None:
+                    c = c.join(host_counts, on="host", how="left")
+                else:
+                    c = c.withColumn("__host_seen", F.lit(None).cast("long"))
                 c = c.withColumn(
                     "priority",
                     F.col("depth") * F.lit(cfg.priority_depth_weight)
@@ -318,6 +365,12 @@ def _run_crawl(
                 # filter_unseen barriers first)
                 seen.add_async(admitted_g)
                 t0 = _t("seen-add-async", t0)
+                if use_priority:
+                    # incremental counts update: O(wave) agg + merge with
+                    # the (hosts-touched)-sized running table; overlaps
+                    # nothing (needs admitted_g, already pinned)
+                    bump_host_counts(admitted_g)
+                    t0 = _t("host-counts", t0)
                 admitted_gens.append(admitted_g)
                 # admitted_hosts / extracted / missing metric rows are
                 # computed once post-loop (single grouped agg over the

@@ -109,3 +109,43 @@ def host_budget_rank(
     partition size the task must hold."""
     w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn(rank_col, F.row_number().over(w))
+
+
+def salted_host_budget_cap(
+    df: DataFrame,
+    order_cols: list[str],
+    budget: int,
+    host_col: str = "host",
+    url_col: str = "url",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Exact per-host top-``budget`` by ``order_cols`` without any task
+    ever sorting one host's full candidate set (the corpus's mega-host
+    owns ~50% of a wave by construction).
+
+    Two phases, both exact:
+
+    1. rank within ``(host, salt)`` (salt = pmod(xxhash64(url), n_salts))
+       and keep rank ≤ budget. A row's within-salt rank is ≤ its global
+       per-host rank (the salt group is a subset of the host's rows), so
+       nothing that belongs in the final top-budget is dropped; each task
+       sorts only ~1/n_salts of a host's candidates.
+    2. rank within ``host`` over the survivors — now ≤ n_salts × budget
+       rows per host, a CONFIG-bounded partition regardless of wave skew —
+       and keep rank ≤ budget.
+
+    Equals the single ``Window.partitionBy(host)`` rank exactly (property
+    test in test_politeness.py); costs one extra (host, salt) shuffle, the
+    price of skew immunity at scale.
+    """
+    salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(F.col(host_col), salt).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    pre = df.withColumn("__sr", F.row_number().over(w1)).filter(
+        F.col("__sr") <= budget
+    ).drop("__sr")
+    w2 = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in order_cols])
+    return pre.withColumn("__hr", F.row_number().over(w2)).filter(
+        F.col("__hr") <= budget
+    ).drop("__hr")

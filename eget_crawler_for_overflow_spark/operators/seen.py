@@ -347,21 +347,29 @@ class SeenSet:
                 # partitioned by shard id; no bitmap ever reaches the
                 # driver. Membership tasks (_filter_unseen_files) load
                 # exactly their shard's files.
+                _, before = (
+                    _list_bloom_files(self.bloom_dir)
+                    if self._bloom_written
+                    else (None, [])
+                )
                 deltas.write.partitionBy("shard").mode("append").parquet(
                     self.bloom_dir
                 )
                 self._bloom_written = True
                 # every admitted url appears in exactly one delta row's n
-                # (admission is first-wins + unseen), so the total count is
-                # the sum of n over ALL written delta rows — a column-
-                # pruned read of ~n_shards×generations tiny rows, not a
-                # wave-sized re-execution of the admitted lineage
-                self.count = (
-                    self.spark.read.parquet(self.bloom_dir)
-                    .agg(F.sum("n").alias("t"))
-                    .collect()[0]["t"]
-                    or 0
-                )
+                # (admission is first-wins + unseen), so count maintenance
+                # reads only the files THIS append just wrote (≤ n_shards
+                # tiny rows — ADVICE r3: not a rescan of every delta file
+                # written so far, whose cumulative cost is O(gens×shards))
+                import pyarrow.parquet as pq
+
+                seen_before = set(before)
+                fsys, after = _list_bloom_files(self.bloom_dir)
+                for f in after:
+                    if f in seen_before:
+                        continue
+                    t = pq.read_table(f, columns=["n"], filesystem=fsys)
+                    self.count += sum(t.column("n").to_pylist())
             else:
                 rows = deltas.collect()
                 # ≈ n_shards rows × ~100 KB bitmaps — bounded, never URL rows
@@ -542,6 +550,21 @@ class SeenSet:
             )
             return cand.join(self.df.select(hash_col), on=hash_col, how="left_anti")
 
+        # ADVICE r3: enumerate the per-shard file manifest ON THE DRIVER and
+        # close over it — an executor that cannot read the dir (mis-mounted
+        # DFS, driver-local temp path on a real cluster) must FAIL LOUDLY,
+        # not list zero files, build an all-zero bitmap, and silently
+        # re-admit seen URLs. bits_for below raises on any manifest file it
+        # cannot read; a shard absent from the manifest is genuinely empty
+        # (the driver saw the dir — no URL has hashed to it yet).
+        import re as _re
+
+        shard_manifest: dict[int, list[str]] = {}
+        for p in any_files:
+            mt = _re.search(r"/shard=(\d+)/", p)
+            if mt:
+                shard_manifest.setdefault(int(mt.group(1)), []).append(p)
+
         maybe_schema = T.StructType(
             list(cand.schema.fields) + [T.StructField("__maybe_seen", T.BooleanType())]
         )
@@ -555,8 +578,11 @@ class SeenSet:
                 bm = loaded.get(s)
                 if bm is None:
                     bm = np.zeros(nbytes, dtype=np.uint8)
-                    fsys, files = _list_bloom_files(bloom_dir, s)
-                    for f in files:
+                    fsys, _ = _bloom_fs(bloom_dir)
+                    for f in shard_manifest.get(s, ()):
+                        # manifest file unreadable here => this executor
+                        # cannot see the filter storage — raise (a silent
+                        # empty bitmap would bypass the exact anti-join)
                         t = pq.read_table(f, columns=["bitmap"], filesystem=fsys)
                         for buf in t.column("bitmap").to_pylist():
                             bm |= np.frombuffer(buf, dtype=np.uint8)

@@ -858,18 +858,34 @@ FROM pchain p JOIN pnext pn ON pn.doc_id = p.doc_id AND pn.s = p.s
 # text analysis
 # ---------------------------------------------------------------------------
 
-# the engine's marker matrix is the single source of truth (top-20 langs);
-# the scoring/argmax SQL below stays an independent implementation
+# the engine's marker matrices are the single source of truth (top-20
+# langs; zh/ja additionally score char-bigram substring occurrences —
+# text.py LANG_CHAR_MARKERS); the scoring/argmax SQL below stays an
+# independent implementation
+from .functions.text import LANG_CHAR_MARKERS as _CMARKERS  # noqa: E402
 from .functions.text import LANG_MARKERS as _MARKERS  # noqa: E402
+
+
+def _char_score_sql(lang: str) -> str:
+    if lang not in _CMARKERS:
+        return ""
+    terms = " + ".join(
+        f"CAST((length(text) - length(replace(text, '{m}', ''))) // {len(m)} AS INT)"
+        for m in _CMARKERS[lang]
+    )
+    return f" + {terms}"
+
+
 _LANG_SCORES = " UNION ALL ".join(
     f"SELECT doc_id, '{lang}' AS lang, "
-    f"CAST(len(list_filter(words, x -> list_contains({list(ms)}, x))) AS INT) AS score "
+    f"CAST(len(list_filter(words, x -> list_contains({list(ms)}, x))) AS INT)"
+    f"{_char_score_sql(lang)} AS score "
     f"FROM w"
     for lang, ms in sorted(_MARKERS.items())
 )
 
 ORACLES["lang_id"] = f"""
-WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM documents),
+WITH w AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS words FROM documents),
 s AS ({_LANG_SCORES}),
 r AS (SELECT doc_id, lang, score,
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn

@@ -149,3 +149,50 @@ def test_fetch_join_broadcasts_wave_never_shuffles_pages(spark):
         if _re.search(r"\bExchange hashpartitioning|\bExchange rangepartitioning", ln)
     ]
     assert not shuffles, shuffles
+
+
+def test_fetch_join_over_threshold_bucketed_pages_no_exchange(spark, tmp_path):
+    """VERDICT r3 item 4: the >broadcast-threshold fetch path. When the
+    pages corpus is a table bucketed by url (the Iceberg bucket(url)
+    analog — exactly how a 100 TB crawl store would be laid out), the
+    plain left join the engine falls back to becomes a storage-partitioned
+    -style join: the PAGES side is read straight from its buckets with NO
+    Exchange; only the wave side shuffles. This is the one fetch shape the
+    plan suite didn't cover."""
+    import re as _re
+
+    pages = load_pages(spark, SF)
+    tbl = "pages_bucketed_plan_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        pages.select("url", "html")
+        .repartition(8, F.col("url"))
+        .write.bucketBy(8, "url")
+        .sortBy("url")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    wave = spark.range(500).select(
+        F.concat(F.lit("https://host0.example/p/"), F.col("id")).alias("url"),
+        F.col("id").alias("enqueue_seq"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fetched = wave.join(
+            spark.table(tbl).select("url", "html"), on="url", how="left"
+        )
+        txt = plan_text(fetched)
+        # bucketed scan actually selected
+        assert "Bucketed: true" in txt, txt
+        # exactly ONE shuffle — the wave side; pages never shuffled
+        # (formatted mode prints the node as "(N) Exchange" with its
+        # hashpartitioning arguments on a separate line)
+        shuffles = _re.findall(r"\(\d+\) Exchange\b", txt)
+        assert len(shuffles) == 1, txt
+        assert "SelectedBucketsCount" in txt, txt
+        # and the join still returns the right rows
+        assert fetched.filter(F.col("html").isNotNull()).count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

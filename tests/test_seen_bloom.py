@@ -202,3 +202,78 @@ def test_crawl_identical_under_compaction(spark, pages):
         )
 
     assert admitted(2) == admitted(None)
+
+
+def test_files_mode_fails_loud_on_unreadable_manifest_file(spark, pages):
+    """ADVICE r3: the per-shard file manifest is enumerated on the DRIVER
+    and closed over into the membership task; a manifest file an executor
+    cannot read must raise — never degrade to an all-zero bitmap that
+    marks seen URLs 'definitely new' and bypasses the exact anti-join."""
+    import os
+
+    import pytest
+
+    cand = (
+        pages.select("url")
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("host", F.lit("h"))
+    )
+    s = SeenSet(spark, n_shards=4, use_bloom=True, bloom_storage="files")
+    try:
+        s.add(cand.limit(200))
+        out = s.filter_unseen(cand)  # manifest captured at plan time
+        import glob
+
+        victim = sorted(glob.glob(f"{s.bloom_dir}/shard=*/*.parquet"))[0]
+        os.remove(victim)
+        with pytest.raises(Exception, match="(?i)parquet|no such file|error"):
+            out.collect()
+    finally:
+        s.drop()
+
+
+def test_long_crawl_compaction_24_generations(spark, pages):
+    """Design-point generation count (VERDICT r3 item 7): 24 files-mode
+    appends with compact_every=4 — file count stays bounded by
+    n_shards × (compact_every + 1) throughout, bloom delta files stay
+    bounded, and membership is byte-identical to an uncompacted
+    broadcast-mode set fed the same deltas."""
+    n_shards, every, gens = 4, 4, 24
+    delta = (
+        pages.select("url")
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("host", F.lit("h"))
+    )
+    fi = SeenSet(
+        spark,
+        n_shards=n_shards,
+        use_bloom=True,
+        bloom_storage="files",
+        compact_every=every,
+    )
+    bc = SeenSet(spark, n_shards=n_shards, use_bloom=True,
+                 bloom_storage="broadcast")
+    try:
+        import glob
+
+        for g in range(gens):
+            part = delta.filter(F.pmod(F.col("url_hash"), F.lit(gens)) == g)
+            fi.add(part)
+            bc.add(part)
+            assert len(_table_files(spark, fi.table)) <= n_shards * (every + 1)
+            bloom_files = glob.glob(f"{fi.bloom_dir}/shard=*/*.parquet")
+            assert len(bloom_files) <= n_shards * (every + 1)
+        assert fi._compactions == gens // every
+        assert fi.count == bc.count
+        # every URL was admitted across the 24 residues -> nothing unseen
+        assert fi.filter_unseen(delta).count() == 0
+        # and on a fresh candidate set both mechanisms agree row-for-row
+        probe = delta.withColumn(
+            "url", F.concat(F.col("url"), F.lit("?x"))
+        ).withColumn("url_hash", F.xxhash64("url"))
+        got_fi = sorted(r["url"] for r in fi.filter_unseen(probe).collect())
+        got_bc = sorted(r["url"] for r in bc.filter_unseen(probe).collect())
+        assert got_fi == got_bc
+    finally:
+        fi.drop()
+        bc.drop()

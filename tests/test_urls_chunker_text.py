@@ -161,3 +161,36 @@ def test_lang_id_top20_matrix(spark):
 
     for lang, ms in LANG_MARKERS.items():
         assert got[lang] == expected_pred(" ".join(ms)), (lang, got[lang])
+
+
+def test_lang_id_zh_ja_unsegmented(spark):
+    """zh/ja character-bigram path (VERDICT r3 item 8): UNSEGMENTED text in
+    non-space-delimited scripts must fire (the whitespace-token matrix
+    never can), and the engine must match the DuckDB oracle — both sides
+    generated from the same single-sourced marker matrices."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from eget_crawler_for_overflow_spark.functions.text import lang_id
+    from eget_crawler_for_overflow_spark.oracles import ORACLES
+
+    rows = [
+        (0, "これはテストです。日本語の文章ですが、単語の区切りはありません。そして続きます。"),
+        (1, "我们今天去公园，这个地方没有什么人，他们自己可以决定。"),
+        (2, "the quick brown fox and the lazy dog is in the yard"),
+        (3, "zzz qqq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in df.select(
+            "doc_id", lang_id(F.col("text")).alias("lang_pred")
+        ).collect()
+    }
+    assert got[0] == "ja" and got[1] == "zh"
+    assert got[2] == "en" and got[3] == "und"
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = dict(con.execute(ORACLES["lang_id"]).fetchall())
+    assert got == want
