@@ -92,6 +92,23 @@ def timed_extract(spark, pages, reps: int = 2) -> float:
 
 def main() -> None:
     queries: dict[str, float] = {}
+    # VERDICT r3 item 3: EVERY headline query records its reps + the
+    # loadavg at measurement time, not just crawl_bfs — so a regressed
+    # number in the artifact either reproduces across reps or is visibly
+    # box noise (this VM's load swings 1→28 within an hour).
+    query_reps: dict[str, list[float]] = {}
+    query_load: dict[str, float] = {}
+
+    def bench_query(name: str, job, reps: int | None = None) -> float:
+        n = reps or max(1, int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2")))
+        ts = []
+        for _ in range(n):
+            t, _ = timed(job)
+            ts.append(round(t, 3))
+        queries[name] = min(ts)
+        query_reps[name] = ts
+        query_load[name] = round(os.getloadavg()[0], 2)
+        return min(ts)
 
     # scaling FIRST: the efficiency ratio is the north-rule criterion and
     # is sensitive to machine state; measure it before the heavy query
@@ -206,27 +223,32 @@ def main() -> None:
     # best-of-N with every rep recorded in the artifact (VERDICT r2 §5:
     # the claim must quote the artifact, and the artifact must show the
     # variance it was drawn from)
-    crawl_reps = []
-    n_crawled = None
-    for _ in range(max(1, int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "3")))):
-        t, n = timed(crawl_job)
-        crawl_reps.append(round(t, 3))
-        n_crawled = n
-    t_crawl = min(crawl_reps)
-    queries["crawl_bfs"] = round(t_crawl, 3)
+    crawl_out = {}
+
+    def crawl_once():
+        crawl_out["n"] = crawl_job()
+
+    t_crawl = bench_query(
+        "crawl_bfs",
+        crawl_once,
+        reps=max(1, int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "3"))),
+    )
+    crawl_reps = query_reps["crawl_bfs"]
+    n_crawled = crawl_out["n"]
     pages.unpersist()
 
-    # q1: raw extraction throughput (warmup + best-of-2)
-    t_extract = timed_extract(spark, pages)
-    queries["extract_all_pages"] = round(t_extract, 3)
+    # q1: raw extraction throughput (warmup + best-of-N)
+    warmup(spark, pages)
+    t_extract = bench_query(
+        "extract_all_pages", lambda: extract_job(spark, pages)
+    )
 
     # q3: chunker over extracted markdown
     def chunk_job():
         md = pages.select("url", F.col("text").alias("markdown"))
         return chunks_table(md).groupBy("type").count().collect()
 
-    t_chunk, _ = timed(chunk_job)
-    queries["semantic_chunks"] = round(t_chunk, 3)
+    bench_query("semantic_chunks", chunk_job)
 
     # q4: MinHash near-dup over documents (+constructed near-dups)
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -236,16 +258,18 @@ def main() -> None:
             F.concat(F.col("text"), F.lit(" extra tail words here")).alias("text"),
         )
     )
-    t_minhash, _ = timed(
-        lambda: dedup.minhash_dedup(near, threshold_pct=60).count()
+    bench_query(
+        "dedup_minhash",
+        lambda: dedup.minhash_dedup(near, threshold_pct=60).count(),
     )
-    queries["dedup_minhash"] = round(t_minhash, 3)
 
     # q5: brute-force ANN over embeddings
     emb = load_table(spark, SF_DIR, "embeddings")
     qs = emb.filter(F.col("vec_id") % 50 == 0)
-    t_ann, _ = timed(lambda: similarity.ann_bruteforce(emb, qs, k=10).count())
-    queries["ann_bruteforce"] = round(t_ann, 3)
+    bench_query(
+        "ann_bruteforce",
+        lambda: similarity.ann_bruteforce(emb, qs, k=10).count(),
+    )
 
     if scaling:
         scaling["pages_per_sec_low"] = round(
@@ -264,6 +288,8 @@ def main() -> None:
         "n_pages": n_pages,
         "n_crawled": n_crawled,
         "crawl_bfs_reps": crawl_reps,
+        "query_reps": query_reps,
+        "query_load_1m": query_load,
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "extract_only_pages_per_sec": round(n_pages / t_extract, 1),
         "gen_sec": round(t_gen, 3),

@@ -73,6 +73,12 @@ class CrawlConfig:
     # join); the plain shuffle join is the fallback here.
     broadcast_fetch_threshold: int = 2_000_000
     crawl_delay_window: float | None = None  # logical seconds per generation
+    # Salt for the politeness schedule's (host, salt) slot partitioning:
+    # "xxhash64" (default, JVM-fast) or "md5" (first-byte of md5(url) —
+    # bit-identical in ANSI SQL, so a DuckDB oracle can replay the full
+    # deferral loop; see oracles.py _bfs_priority_politeness_sql). Both
+    # are deterministic per-url; only the salt-group assignment differs.
+    politeness_salt: str = "xxhash64"
     # Priority frontier (north-rule W2): admission order key becomes
     # (depth*w_depth + host_seen_count*w_host, parent_seq, link_pos).
     # Both 0.0 (default) == exact reference FIFO parity.
@@ -406,10 +412,19 @@ def _run_crawl(
         if cfg.crawl_delay_window is not None and robots_b is not None:
             fj = fetchable.join(robots_b, on="host", how="left")
             fj = fj.withColumn("crawl_delay", crawl_delay_udf(F.col("rules_text")))
+            salt_expr = None
+            if cfg.politeness_salt == "md5":
+                salt_expr = F.pmod(
+                    F.conv(F.substring(F.md5(F.col("url")), 1, 2), 16, 10).cast(
+                        "long"
+                    ),
+                    F.lit(cfg.n_salts),
+                )
             fj = salted_fetch_schedule(
                 fj,
                 order_cols=["depth", "enqueue_seq"],
                 n_salts=cfg.n_salts,
+                salt_expr=salt_expr,
             )
             fj = fj.localCheckpoint(eager=True)
             eligible = fj.filter(

@@ -76,18 +76,17 @@ def _crawl(spark: SparkSession, sf_dir: str):
 
 
 def q_extract_text(spark, sf_dir):
-    """T7: byte-identical markdown per url (the north-rule invariant)."""
-    return _pages(spark, sf_dir).select(
-        "url", markdown_udf(F.col("html")).alias("markdown")
-    )
-
-
-def q_extract_text_matches(spark, sf_dir):
-    """Self-audit: extracted markdown vs the oracle text column, counted."""
+    """T7: byte-identical markdown per url (the north-rule invariant),
+    with the former `extract_text_matches` self-audit folded in as a
+    per-row boolean (markdown == oracle text column) — merged r4 to free
+    a registry slot under the driver's 50-query cap."""
     p = _pages(spark, sf_dir)
+    md = markdown_udf(F.col("html"))
     return p.select(
-        (markdown_udf(F.col("html")) == F.col("text")).alias("is_equal")
-    ).groupBy("is_equal").agg(F.count("*").alias("n"))
+        "url",
+        md.alias("markdown"),
+        (md == F.col("text")).alias("is_equal"),
+    )
 
 
 def q_title_lang_extract(spark, sf_dir):
@@ -327,6 +326,50 @@ def q_bfs_order_priority(spark, sf_dir):
             priority_host_weight=PRIORITY_W_HOST,
         )
         res = run_crawl(spark, _pages(spark, sf_dir), seeds, cfg)
+        res.admitted = res.admitted.localCheckpoint(eager=True)
+        _crawl_cache[key] = res
+    return _crawl_cache[key].admitted.select("url", "depth", "enqueue_seq")
+
+
+def q_bfs_order_priority_politeness(spark, sf_dir):
+    """W2+politeness value-exact (VERDICT r3 item 5): priority frontier
+    AND a crawl-delay window through the real loop. host0 (the mega-host)
+    carries Crawl-delay 2s, so its fetches spread across generations and
+    link expansion — hence admission depth/seq — interleaves waves. Salt
+    = md5 mode so the DuckDB oracle (oracles._bfs_priority_politeness_sql,
+    full unrolled generation loop) replays the schedule bit-exactly."""
+    from .oracles import (
+        PP_DEPTH,
+        PP_GENS,
+        PP_NSALTS,
+        PP_W_DEPTH,
+        PP_W_HOST,
+        PP_WINDOW,
+    )
+
+    key = (sf_dir, "priority_politeness")
+    if key not in _crawl_cache:
+        _, n_hosts = pm.sizing(sf_dir)
+        seeds = [pm.url_of(i, n_hosts) for i in CRAWL_SEED_IDS]
+        robots_df = spark.createDataFrame(
+            [("host0.example", "User-agent: *\nCrawl-delay: 2")],
+            "host string, rules_text string",
+        )
+        cfg = CrawlConfig(
+            max_depth=PP_DEPTH,
+            max_pages=None,
+            same_domain=False,
+            use_bloom=True,
+            crawl_delay_window=PP_WINDOW,
+            n_salts=PP_NSALTS,
+            politeness_salt="md5",
+            priority_depth_weight=PP_W_DEPTH,
+            priority_host_weight=PP_W_HOST,
+            max_generations=PP_GENS,
+        )
+        res = run_crawl(
+            spark, _pages(spark, sf_dir), seeds, cfg, robots=robots_df
+        )
         res.admitted = res.admitted.localCheckpoint(eager=True)
         _crawl_cache[key] = res
     return _crawl_cache[key].admitted.select("url", "depth", "enqueue_seq")
@@ -777,7 +820,6 @@ def q_events_summary(spark, sf_dir):
 
 QUERIES = {
     "extract_text": q_extract_text,
-    "extract_text_matches": q_extract_text_matches,
     "title_lang_extract": q_title_lang_extract,
     "structured_og": q_structured_og,
     "metadata_extract": q_metadata_extract,
@@ -798,6 +840,7 @@ QUERIES = {
     "bfs_reach_robots": q_bfs_reach_robots,
     "bfs_order": q_bfs_order,
     "bfs_order_priority": q_bfs_order_priority,
+    "bfs_order_priority_politeness": q_bfs_order_priority_politeness,
     "bfs_depth_counts": q_bfs_depth_counts,
     "crawl_stats": q_crawl_stats,
     "frontier_status_counts": q_frontier_status_counts,

@@ -84,8 +84,18 @@ def main(names=None):
         # int-vs-float family mismatch as a failure.
         dtype_warn = []
         try:
-            spd = sdf.limit(200).toPandas()
-            opd = orel.limit(200).df()
+            # deterministic sample (ADVICE r3): an unordered limit() can
+            # flip a column's null-presence — and hence its inferred pandas
+            # dtype — between runs; order by the first (name-sorted) column
+            # with nulls last on BOTH sides before limiting
+            from pyspark.sql import functions as _F
+
+            spd = (
+                sdf.orderBy(_F.asc_nulls_last(scols[0]))
+                .limit(200)
+                .toPandas()
+            )
+            opd = orel.order(f'"{scols[0]}" ASC NULLS LAST').limit(200).df()
             for c in scols:
                 # null-bearing samples legitimately promote int -> float
                 # in pandas on either side; only compare null-free columns

@@ -92,12 +92,23 @@ def main() -> None:
         # every seed was dropped by the invalid-URL guard (or depth 0 with
         # no admissible seeds): clean exit, and REMOVE any stale output so
         # a consumer can never pair an old extracted table with this run's
-        # fresh metrics
+        # fresh metrics. Guard (ADVICE r3): only delete a path that looks
+        # like a prior parquet output of this tool (_SUCCESS marker) — a
+        # mistyped --output pointing at an unrelated directory must never
+        # be silently destroyed.
+        import os
         import shutil
 
-        shutil.rmtree(args.output, ignore_errors=True)
-        print("warning: nothing admitted — no extracted rows to write "
-              f"(stale {args.output} removed if present)")
+        if os.path.exists(os.path.join(args.output, "_SUCCESS")):
+            shutil.rmtree(args.output, ignore_errors=True)
+            print("warning: nothing admitted — no extracted rows to write "
+                  f"(stale {args.output} removed)")
+        elif os.path.exists(args.output):
+            print("warning: nothing admitted, and existing "
+                  f"{args.output} does not look like a prior crawl output "
+                  "(no _SUCCESS) — leaving it untouched")
+        else:
+            print("warning: nothing admitted — no extracted rows to write")
     res.metrics.write.mode("overwrite").parquet(args.output + "_metrics")
     print(
         f"crawl done: generations={res.generations} "
