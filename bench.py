@@ -99,10 +99,16 @@ def main() -> None:
     query_reps: dict[str, list[float]] = {}
     query_load: dict[str, float] = {}
 
-    def bench_query(name: str, job, reps: int | None = None) -> float:
+    def bench_query(name: str, job, reps: int | None = None, pre=None) -> float:
         n = reps or max(1, int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2")))
         ts = []
         for _ in range(n):
+            if pre is not None:
+                # cold-per-rep: operators with an internal persist barrier
+                # (minhash signatures) would otherwise serve rep 2 from
+                # Spark's plan-matched cache and min() would report the
+                # warm time — not comparable with a single cold run
+                pre()
             t, _ = timed(job)
             ts.append(round(t, 3))
         queries[name] = min(ts)
@@ -248,7 +254,7 @@ def main() -> None:
         md = pages.select("url", F.col("text").alias("markdown"))
         return chunks_table(md).groupBy("type").count().collect()
 
-    bench_query("semantic_chunks", chunk_job)
+    bench_query("semantic_chunks", chunk_job, pre=spark.catalog.clearCache)
 
     # q4: MinHash near-dup over documents (+constructed near-dups)
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -261,6 +267,7 @@ def main() -> None:
     bench_query(
         "dedup_minhash",
         lambda: dedup.minhash_dedup(near, threshold_pct=60).count(),
+        pre=spark.catalog.clearCache,
     )
 
     # q5: brute-force ANN over embeddings
@@ -269,6 +276,7 @@ def main() -> None:
     bench_query(
         "ann_bruteforce",
         lambda: similarity.ann_bruteforce(emb, qs, k=10).count(),
+        pre=spark.catalog.clearCache,
     )
 
     if scaling:
