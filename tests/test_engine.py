@@ -438,3 +438,37 @@ def test_host_budget_through_engine_on_skewed_corpus(spark, pages):
     a = sorted(res.admitted.select("url", "enqueue_seq").collect())
     b = sorted(res2.admitted.select("url", "enqueue_seq").collect())
     assert a == b
+
+
+def test_resume_priority_preserves_order(spark, pages, tmp_path):
+    """Resume path for the priority frontier (r4): the incremental
+    per-host counts are rebuilt from the committed admitted generations,
+    so a killed-and-resumed priority crawl must reproduce the
+    uninterrupted run's admission ORDER exactly (seqs, not just the set)."""
+
+    def mk(max_gens):
+        return CrawlConfig(
+            max_depth=3,
+            max_pages=None,
+            same_domain=False,
+            priority_depth_weight=0.25,
+            priority_host_weight=1.0,
+            max_generations=max_gens,
+        )
+
+    want_res = run_crawl(spark, pages, seeds_host0(), mk(64))
+    want = sorted(
+        (r["url"], r["depth"], r["enqueue_seq"])
+        for r in want_res.admitted.collect()
+    )
+    ck = str(tmp_path / "ckpt_prio")
+    partial = run_crawl(spark, pages, seeds_host0(), mk(2), checkpoint_dir=ck)
+    assert partial.generations == 2  # stopped before the depth-3 wave
+    resumed = run_crawl(
+        spark, pages, seeds_host0(), mk(64), checkpoint_dir=ck, resume=True
+    )
+    got = sorted(
+        (r["url"], r["depth"], r["enqueue_seq"])
+        for r in resumed.admitted.collect()
+    )
+    assert got == want
