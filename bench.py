@@ -81,15 +81,6 @@ def warmup(spark, pages):
     ).agg(F.count("e.markdown")).collect()
 
 
-def timed_extract(spark, pages, reps: int = 2) -> float:
-    warmup(spark, pages)
-    best = float("inf")
-    for _ in range(reps):
-        t, _ = timed(lambda: extract_job(spark, pages))
-        best = min(best, t)
-    return best
-
-
 def main() -> None:
     queries: dict[str, float] = {}
     # VERDICT r3 item 3: EVERY headline query records its reps + the

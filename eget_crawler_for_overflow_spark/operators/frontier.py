@@ -105,6 +105,16 @@ class CrawlConfig:
     seen_compact_every: int | None = None
     max_generations: int = 64
 
+    def __post_init__(self) -> None:
+        # fail loud on typos: a silently-ignored salt mode would run a
+        # DIFFERENT deterministic deferral schedule than the caller's
+        # oracle/replay expects (same policy as SeenSet's bloom_storage)
+        if self.politeness_salt not in ("xxhash64", "md5"):
+            raise ValueError(
+                f"unknown politeness_salt: {self.politeness_salt!r} "
+                "(expected 'xxhash64' or 'md5')"
+            )
+
 
 @dataclass
 class CrawlResult:

@@ -135,8 +135,9 @@ def salted_host_budget_cap(
        and keep rank ≤ budget.
 
     Equals the single ``Window.partitionBy(host)`` rank exactly (property
-    test in test_politeness.py); costs one extra (host, salt) shuffle, the
-    price of skew immunity at scale.
+    test: tests/test_engine.py::test_salted_host_budget_exact_and_bounded);
+    costs one extra (host, salt) shuffle, the price of skew immunity at
+    scale.
     """
     salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts))
     w1 = Window.partitionBy(F.col(host_col), salt).orderBy(

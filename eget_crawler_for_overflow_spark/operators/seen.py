@@ -209,6 +209,11 @@ class SeenSet:
             _tempfile.gettempdir(), f"{self.table}_bloom"
         )
         self._bloom_written = False
+        # cached post-append file listing (files mode): the next append's
+        # "before" snapshot, so count maintenance lists the dir once per
+        # append instead of twice — O(shards) steady-state metadata ops,
+        # not O(total accumulated files) twice per append
+        self._bloom_files: list[str] | None = None
         # stacked per-shard bitmaps: row s = shard s's filter
         # (broadcast mode only; files mode never materializes them here)
         self.bits: np.ndarray | None = (
@@ -347,11 +352,13 @@ class SeenSet:
                 # partitioned by shard id; no bitmap ever reaches the
                 # driver. Membership tasks (_filter_unseen_files) load
                 # exactly their shard's files.
-                _, before = (
-                    _list_bloom_files(self.bloom_dir)
-                    if self._bloom_written
-                    else (None, [])
-                )
+                before = self._bloom_files
+                if before is None:
+                    _, before = (
+                        _list_bloom_files(self.bloom_dir)
+                        if self._bloom_written
+                        else (None, [])
+                    )
                 deltas.write.partitionBy("shard").mode("append").parquet(
                     self.bloom_dir
                 )
@@ -370,6 +377,7 @@ class SeenSet:
                         continue
                     t = pq.read_table(f, columns=["n"], filesystem=fsys)
                     self.count += sum(t.column("n").to_pylist())
+                self._bloom_files = after
             else:
                 rows = deltas.collect()
                 # ≈ n_shards rows × ~100 KB bitmaps — bounded, never URL rows
@@ -454,6 +462,7 @@ class SeenSet:
             )
             _delete_bloom_dir(self.bloom_dir)
             self.bloom_dir = new_dir
+            self._bloom_files = None  # dir rewritten; next append re-lists
         self._appends = 0
 
     # -- membership ---------------------------------------------------------

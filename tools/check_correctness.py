@@ -86,16 +86,24 @@ def main(names=None):
         try:
             # deterministic sample (ADVICE r3): an unordered limit() can
             # flip a column's null-presence — and hence its inferred pandas
-            # dtype — between runs; order by the first (name-sorted) column
-            # with nulls last on BOTH sides before limiting
+            # dtype — between runs; full tie-broken sort over ALL columns
+            # (a single-column sort is still arbitrary under ties, e.g.
+            # extract_text's constant is_equal leads its name-sorted
+            # columns) with nulls last on BOTH sides before limiting
             from pyspark.sql import functions as _F
 
             spd = (
-                sdf.orderBy(_F.asc_nulls_last(scols[0]))
+                sdf.orderBy(*[_F.asc_nulls_last(c) for c in scols])
                 .limit(200)
                 .toPandas()
             )
-            opd = orel.order(f'"{scols[0]}" ASC NULLS LAST').limit(200).df()
+            opd = (
+                orel.order(
+                    ", ".join(f'"{c}" ASC NULLS LAST' for c in scols)
+                )
+                .limit(200)
+                .df()
+            )
             for c in scols:
                 # null-bearing samples legitimately promote int -> float
                 # in pandas on either side; only compare null-free columns

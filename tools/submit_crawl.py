@@ -86,6 +86,7 @@ def main() -> None:
         checkpoint_dir=args.checkpoint,
         resume=args.resume,
     )
+    write_metrics = True
     if res.extracted is not None:
         res.extracted.write.mode("overwrite").parquet(args.output)
     else:
@@ -93,9 +94,13 @@ def main() -> None:
         # no admissible seeds): clean exit, and REMOVE any stale output so
         # a consumer can never pair an old extracted table with this run's
         # fresh metrics. Guard (ADVICE r3): only delete a path that looks
-        # like a prior parquet output of this tool (_SUCCESS marker) — a
-        # mistyped --output pointing at an unrelated directory must never
-        # be silently destroyed.
+        # like a COMPLETE prior parquet output of this tool (_SUCCESS
+        # marker) — a mistyped --output pointing at an unrelated directory
+        # must never be silently destroyed. If an unrecognized/partial dir
+        # is left in place, SKIP the metrics write too: fresh metrics next
+        # to unverified output recreates the stale-pairing hazard the
+        # removal exists to prevent. (Local-FS probe; on a DFS output,
+        # clean the path explicitly before a re-run.)
         import os
         import shutil
 
@@ -104,12 +109,15 @@ def main() -> None:
             print("warning: nothing admitted — no extracted rows to write "
                   f"(stale {args.output} removed)")
         elif os.path.exists(args.output):
+            write_metrics = False
             print("warning: nothing admitted, and existing "
-                  f"{args.output} does not look like a prior crawl output "
-                  "(no _SUCCESS) — leaving it untouched")
+                  f"{args.output} does not look like a complete prior "
+                  "crawl output (no _SUCCESS) — leaving it untouched and "
+                  "NOT writing metrics (clean the path and re-run)")
         else:
             print("warning: nothing admitted — no extracted rows to write")
-    res.metrics.write.mode("overwrite").parquet(args.output + "_metrics")
+    if write_metrics:
+        res.metrics.write.mode("overwrite").parquet(args.output + "_metrics")
     print(
         f"crawl done: generations={res.generations} "
         f"admitted={res.stats['admitted']} → {args.output}"
