@@ -232,6 +232,26 @@ def main() -> None:
     )
     crawl_reps = query_reps["crawl_bfs"]
     n_crawled = crawl_out["n"]
+
+    # q2b: the SAME crawl with the priority frontier enabled — standing
+    # artifact evidence that the priority path costs ~nothing over FIFO
+    # (its per-host counts are incremental; pre-r4 it rescanned the
+    # accumulated seen table every generation). Same admitted set, only
+    # the admission order differs.
+    prio_cfg = CrawlConfig(
+        max_depth=6,
+        max_pages=200_000,
+        same_domain=False,
+        use_bloom=True,
+        priority_depth_weight=0.25,
+        priority_host_weight=1.0,
+    )
+
+    def crawl_prio_job():
+        res = run_crawl(spark, pages, seeds, prio_cfg)
+        return res.extracted.filter(F.col("status") == "extracted").count()
+
+    bench_query("crawl_bfs_priority", crawl_prio_job, reps=2)
     pages.unpersist()
 
     # q1: raw extraction throughput (warmup + best-of-N)
