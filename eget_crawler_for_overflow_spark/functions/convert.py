@@ -3,12 +3,28 @@
 The reference exposes a pluggable converter registry
 (/root/reference/services/converters/converter_factory.py:11-42) dispatching
 on file type, with per-format converters (pdf_converter.py, docx_converter
-.py, xlsx_converter.py). The decode libraries (PyMuPDF, python-docx,
-openpyxl) are not in this container, so each converter's *decode* step is
-stubbed behind NotImplementedError — but the registry, dispatch, size/type
-gates (conversion_service.py:47-65), Spark plumbing (binaryFile source →
+.py, xlsx_converter.py). The decode libraries the reference uses (PyMuPDF,
+python-docx, openpyxl) are not in this container, so since round 4 each
+converter ships a FROM-SCRATCH stdlib decoder instead of a stub:
+
+* DOCX — ``zipfile`` + ``xml.etree`` over ``word/document.xml``: Heading-N
+  styles → ``#``×N, numbered/bulleted paragraphs → list items with ilvl
+  indentation, ``w:tbl`` → markdown tables (docx_converter.py:124-153,
+  316-360 semantics, own dialect).
+* XLSX — ``zipfile`` + ``xml.etree`` over workbook/sheet/sharedStrings
+  XML: one ``##``-titled markdown table per non-empty sheet
+  (xlsx_converter.py:94-152 semantics).
+* PDF — best-effort text layer: FlateDecode (stdlib ``zlib``) / raw
+  content streams, ``Tj``/``TJ``/``'`` text operators with PDF string
+  escapes and hex strings (pdf_converter.py:23-81 capability). PDFs whose
+  fonts use subset/CID encodings need a real PDF library and raise.
+
+These are own-dialect decoders: byte-parity goldens vs the reference's
+PyMuPDF/python-docx/openpyxl output become mandatory the moment those
+libs appear in the container. The registry, dispatch, size/type gates
+(conversion_service.py:47-65), Spark plumbing (binaryFile source →
 mapInPandas → markdown column), and the shared text-cleaning step
-(base_converter.py:35-53) are real and tested.
+(base_converter.py:35-53) are unchanged.
 """
 
 from __future__ import annotations
@@ -65,20 +81,341 @@ def clean_text(text: str) -> str:
     return "\n".join(line.strip() for line in text.split("\n")).strip()
 
 
-def _stub(kind: str) -> Callable[[bytes], str]:
-    def convert(payload: bytes) -> str:
-        raise NotImplementedError(
-            f"{kind} decoding requires libraries not present in this "
-            "container (see module docstring); plug a real decoder in via "
-            "register_converter()"
+# ---------------------------------------------------------------------------
+# DOCX (stdlib): word/document.xml is WordprocessingML; body children in
+# document order are w:p (paragraph) and w:tbl (table).
+# ---------------------------------------------------------------------------
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def _docx_para_text(p) -> str:
+    """Concatenate a paragraph's runs: w:t text, w:tab → tab, w:br → \\n."""
+    parts: list[str] = []
+    for el in p.iter():
+        tag = el.tag
+        if tag == f"{_W}t":
+            parts.append(el.text or "")
+        elif tag == f"{_W}tab":
+            parts.append("\t")
+        elif tag == f"{_W}br":
+            parts.append("\n")
+    return "".join(parts)
+
+
+def _docx_heading_level(p) -> int:
+    """Heading level from w:pStyle val 'HeadingN'/'heading N' (the
+    reference keys on style names starting with 'Heading',
+    docx_converter.py:133-138); 0 = not a heading."""
+    st = p.find(f"{_W}pPr/{_W}pStyle")
+    if st is None:
+        return 0
+    val = st.get(f"{_W}val", "")
+    m = re.fullmatch(r"[Hh]eading\s?(\d)", val)
+    return int(m.group(1)) if m else 0
+
+
+def _docx_list_level(p) -> int | None:
+    """Indent level for numbered/bulleted paragraphs (w:numPr present)."""
+    num = p.find(f"{_W}pPr/{_W}numPr")
+    if num is None:
+        return None
+    ilvl = num.find(f"{_W}ilvl")
+    try:
+        return int(ilvl.get(f"{_W}val", "0")) if ilvl is not None else 0
+    except ValueError:
+        return 0
+
+
+def _md_table(rows: list[list[str]]) -> str:
+    """Markdown table with the first row as header (the reference renders
+    tables the same way, document_structure.to_markdown)."""
+    if not rows:
+        return ""
+    width = max(len(r) for r in rows)
+    rows = [r + [""] * (width - len(r)) for r in rows]
+
+    def line(cells):
+        return "| " + " | ".join(c.replace("|", "\\|") for c in cells) + " |"
+
+    out = [line(rows[0]), "|" + "---|" * width]
+    out += [line(r) for r in rows[1:]]
+    return "\n".join(out)
+
+
+def _decode_docx(payload: bytes) -> str:
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        body = ET.fromstring(z.read("word/document.xml")).find(f"{_W}body")
+    if body is None:
+        raise ValueError("DOCX has no document body")
+    blocks: list[str] = []
+    for el in body:
+        if el.tag == f"{_W}p":
+            text = _docx_para_text(el)
+            if not text.strip():
+                continue
+            lvl = _docx_heading_level(el)
+            if lvl:
+                blocks.append("#" * lvl + " " + text)
+                continue
+            ilvl = _docx_list_level(el)
+            if ilvl is not None:
+                blocks.append("  " * ilvl + "- " + text)
+            else:
+                blocks.append(text)
+        elif el.tag == f"{_W}tbl":
+            rows = [
+                [
+                    "\n".join(
+                        _docx_para_text(p) for p in tc.findall(f"{_W}p")
+                    ).strip()
+                    for tc in tr.findall(f"{_W}tc")
+                ]
+                for tr in el.findall(f"{_W}tr")
+            ]
+            blocks.append(_md_table(rows))
+    return clean_text("\n\n".join(blocks))
+
+
+# ---------------------------------------------------------------------------
+# XLSX (stdlib): workbook.xml lists sheets (name + r:id), the rels part
+# maps r:id → worksheet xml, sharedStrings.xml interns cell strings.
+# ---------------------------------------------------------------------------
+
+_S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def _xlsx_col_index(ref: str) -> int:
+    """'B7' → 1 (0-based column)."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return max(0, n - 1)
+
+
+def _xlsx_cell_value(c, shared: list[str]) -> str:
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        return "".join(tt.text or "" for tt in c.iter(f"{_S}t"))
+    v = c.find(f"{_S}v")
+    raw = v.text if v is not None and v.text is not None else ""
+    if t == "s":
+        try:
+            return shared[int(raw)]
+        except (ValueError, IndexError):
+            return ""
+    if t == "b":
+        return "TRUE" if raw == "1" else "FALSE"
+    # numbers: render integers without the trailing .0 (the reference's
+    # _format_cell_value does the same normalization)
+    if raw and t in ("n", "str"):
+        try:
+            f = float(raw)
+            if f.is_integer() and "e" not in raw.lower():
+                return str(int(f))
+        except ValueError:
+            pass
+    return raw
+
+
+def _decode_xlsx(payload: bytes) -> str:
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        names = set(z.namelist())
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            shared = [
+                "".join(t.text or "" for t in si.iter(f"{_S}t"))
+                for si in ET.fromstring(z.read("xl/sharedStrings.xml")).iter(
+                    f"{_S}si"
+                )
+            ]
+        rels = {}
+        if "xl/_rels/workbook.xml.rels" in names:
+            for rel in ET.fromstring(z.read("xl/_rels/workbook.xml.rels")):
+                tgt = rel.get("Target", "")
+                rels[rel.get("Id")] = (
+                    tgt[1:] if tgt.startswith("/") else "xl/" + tgt
+                )
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        blocks: list[str] = []
+        for sheet in wb.iter(f"{_S}sheet"):
+            name = sheet.get("name", "Sheet")
+            target = rels.get(sheet.get(f"{_R}id"))
+            if target is None or target not in names:
+                continue
+            ws = ET.fromstring(z.read(target))
+            grid: list[list[str]] = []
+            for row in ws.iter(f"{_S}row"):
+                cells: list[str] = []
+                for c in row.findall(f"{_S}c"):
+                    idx = _xlsx_col_index(c.get("r", ""))
+                    while len(cells) < idx:
+                        cells.append("")
+                    cells.append(_xlsx_cell_value(c, shared))
+                grid.append(cells)
+            while grid and not any(x.strip() for x in grid[-1]):
+                grid.pop()
+            if not grid:
+                continue  # _has_content gate (xlsx_converter.py:94-102)
+            blocks.append(f"## {name}\n\n" + _md_table(grid))
+    if not blocks:
+        raise ValueError("XLSX has no non-empty sheets")
+    return clean_text("\n\n".join(blocks))
+
+
+# ---------------------------------------------------------------------------
+# PDF (stdlib, best-effort): decompress FlateDecode / raw content streams
+# and evaluate the text-showing operators. Handles literal strings with
+# escapes, hex strings, TJ arrays; emits newlines on T*/'/" and between
+# BT..ET blocks. Subset/CID-encoded fonts are NOT decodable without a
+# real PDF library — if no printable text survives, raise.
+# ---------------------------------------------------------------------------
+
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_literal(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ( ... ) literal starting at data[i] == '('; returns
+    (decoded bytes, index past the closing paren)."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    while i < len(data) and depth:
+        ch = data[i : i + 1]
+        if ch == b"\\":
+            nxt = data[i + 1 : i + 2]
+            if nxt.isdigit():
+                j = i + 1
+                oct_digits = b""
+                while j < len(data) and len(oct_digits) < 3 and data[j : j + 1].isdigit():
+                    oct_digits += data[j : j + 1]
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+                continue
+            out += _PDF_ESCAPES.get(nxt, nxt)
+            i += 2
+            continue
+        if ch == b"(":
+            depth += 1
+        elif ch == b")":
+            depth -= 1
+            if not depth:
+                i += 1
+                break
+        if depth:
+            out += ch
+        i += 1
+    return bytes(out), i
+
+
+def _pdf_str_decode(raw: bytes) -> str:
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1", "replace")
+
+
+def _pdf_stream_text(stream: bytes) -> str:
+    """Walk a content stream, collecting show-text operators."""
+    out: list[str] = []
+    i, n = 0, len(stream)
+    pending: list[str] = []
+
+    def flush_line():
+        if pending:
+            out.append("".join(pending))
+            pending.clear()
+
+    while i < n:
+        ch = stream[i : i + 1]
+        if ch == b"(":
+            raw, i = _pdf_literal(stream, i)
+            pending.append(_pdf_str_decode(raw))
+            continue
+        if ch == b"<" and stream[i + 1 : i + 2] != b"<":
+            j = stream.find(b">", i)
+            if j == -1:
+                break
+            hexs = re.sub(rb"\s", b"", stream[i + 1 : j])
+            if len(hexs) % 2:
+                hexs += b"0"
+            try:
+                pending.append(_pdf_str_decode(bytes.fromhex(hexs.decode("ascii"))))
+            except ValueError:
+                pass
+            i = j + 1
+            continue
+        # operators that end a text line
+        if stream[i : i + 2] == b"T*" or ch in (b"'", b'"'):
+            flush_line()
+            i += 2 if stream[i : i + 2] == b"T*" else 1
+            continue
+        if stream[i : i + 2] == b"TD" or stream[i : i + 2] == b"Td":
+            flush_line()
+            i += 2
+            continue
+        if stream[i : i + 2] == b"ET":
+            flush_line()
+            i += 2
+            continue
+        i += 1
+    flush_line()
+    return "\n".join(s for s in out if s.strip())
+
+
+def _decode_pdf(payload: bytes) -> str:
+    import zlib
+
+    if not payload.startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+    texts: list[str] = []
+    for m in re.finditer(rb"stream\r?\n", payload):
+        start = m.end()
+        end = payload.find(b"endstream", start)
+        if end == -1:
+            continue
+        data = payload[start:end].rstrip(b"\r\n")
+        # the object dict sits just before 'stream'
+        head = payload[max(0, m.start() - 400) : m.start()]
+        if b"/FlateDecode" in head:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue  # image/font stream or unsupported predictor
+        elif re.search(rb"/(DCT|JPX|CCITTFax|RunLength|LZW|ASCII85)", head):
+            continue  # non-text encodings: skip
+        if b"BT" not in data:
+            continue
+        t = _pdf_stream_text(data)
+        if t:
+            texts.append(t)
+    joined = clean_text("\n\n".join(texts))
+    if not joined:
+        raise ValueError(
+            "no extractable text layer (scanned image, CID/subset-encoded "
+            "fonts, or encrypted — needs a full PDF library)"
         )
+    return joined
 
-    return convert
 
-
-register_converter("pdf", _stub("PDF"))
-register_converter("docx", _stub("DOCX"))
-register_converter("xlsx", _stub("XLSX"))
+register_converter("pdf", _decode_pdf)
+register_converter("docx", _decode_docx)
+register_converter("xlsx", _decode_xlsx)
 # plain text converts for real — exercises the full pipeline
 register_converter("txt", lambda b: clean_text(b.decode("utf-8", "replace")))
 register_converter("md", lambda b: clean_text(b.decode("utf-8", "replace")))

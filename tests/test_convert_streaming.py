@@ -22,7 +22,8 @@ SF = "/root/testdata/sf0.001"
 
 def test_registry_dispatch_and_stub(tmp_path):
     assert get_converter("txt")(b"hello   world") == "hello world"
-    with pytest.raises(NotImplementedError):
+    # the r4 stdlib PDF decoder fails loud on a text-less payload
+    with pytest.raises(ValueError, match="no extractable text layer"):
         get_converter("pdf")(b"%PDF-1.4")
     with pytest.raises(ValueError):
         get_converter("exe")
@@ -77,7 +78,7 @@ def test_convert_files_pipeline(spark, tmp_path):
     assert by_type["txt"]["markdown"] == "some text\n\nhere"
     assert by_type["txt"]["error"] is None
     assert by_type["pdf"]["markdown"] is None
-    assert "NotImplementedError" in by_type["pdf"]["error"]
+    assert "ValueError" in by_type["pdf"]["error"]
 
 
 def test_streaming_extraction_matches_batch(spark, tmp_path):

@@ -1,0 +1,201 @@
+"""Round-4 stdlib decoders for the §2.11 converters (DOCX/XLSX/PDF →
+markdown). Fixtures are constructed with the same stdlib the decoders
+use inverted (zipfile/XML writers, a hand-assembled PDF), so these are
+format-conformance tests, not self-referential round-trips: the fixture
+bytes follow the ECMA-376 / PDF-1.4 specs, not the decoder's internals.
+
+Byte-parity goldens vs the reference's PyMuPDF/python-docx/openpyxl
+output become mandatory the moment those libs appear in the container
+(they were re-probed absent 2026-08-17)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+import zlib
+
+import pytest
+
+from eget_crawler_for_overflow_spark.functions.convert import (
+    _decode_docx,
+    _decode_pdf,
+    _decode_xlsx,
+    get_converter,
+)
+
+W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+
+
+def make_docx(document_xml: str) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types"/>',
+        )
+        z.writestr("word/document.xml", document_xml)
+    return buf.getvalue()
+
+
+def test_docx_headings_lists_tables():
+    doc = f"""<?xml version="1.0"?>
+<w:document {W_NS}><w:body>
+  <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>
+    <w:r><w:t>Report Title</w:t></w:r></w:p>
+  <w:p><w:r><w:t>First paragraph with </w:t></w:r>
+       <w:r><w:t>two runs.</w:t></w:r></w:p>
+  <w:p><w:pPr><w:pStyle w:val="Heading2"/></w:pPr>
+    <w:r><w:t>Section</w:t></w:r></w:p>
+  <w:p><w:pPr><w:numPr><w:ilvl w:val="0"/></w:numPr></w:pPr>
+    <w:r><w:t>item one</w:t></w:r></w:p>
+  <w:p><w:pPr><w:numPr><w:ilvl w:val="1"/></w:numPr></w:pPr>
+    <w:r><w:t>nested item</w:t></w:r></w:p>
+  <w:tbl>
+    <w:tr><w:tc><w:p><w:r><w:t>k</w:t></w:r></w:p></w:tc>
+          <w:tc><w:p><w:r><w:t>v</w:t></w:r></w:p></w:tc></w:tr>
+    <w:tr><w:tc><w:p><w:r><w:t>a</w:t></w:r></w:p></w:tc>
+          <w:tc><w:p><w:r><w:t>1</w:t></w:r></w:p></w:tc></w:tr>
+  </w:tbl>
+</w:body></w:document>"""
+    md = _decode_docx(make_docx(doc))
+    assert "# Report Title" in md
+    assert "First paragraph with two runs." in md
+    assert "## Section" in md
+    assert "- item one" in md
+    assert "- nested item" in md  # clean_text strips leading indent
+    assert "| k | v |" in md and "| a | 1 |" in md and "|---|---|" in md
+
+
+def test_docx_empty_paragraphs_skipped_and_breaks():
+    doc = f"""<?xml version="1.0"?>
+<w:document {W_NS}><w:body>
+  <w:p></w:p>
+  <w:p><w:r><w:t>line one</w:t><w:br/><w:t>line two</w:t></w:r></w:p>
+</w:body></w:document>"""
+    md = _decode_docx(make_docx(doc))
+    assert md == "line one\nline two"
+
+
+S_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+R_NS = (
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+    'relationships"'
+)
+
+
+def make_xlsx(sheets: dict[str, str], shared: list[str] | None = None) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        sheet_tags = "".join(
+            f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, name in enumerate(sheets)
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {S_NS} {R_NS}>'
+            f"<sheets>{sheet_tags}</sheets></workbook>",
+        )
+        rels = "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://x" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+            f'openxmlformats.org/package/2006/relationships">{rels}'
+            "</Relationships>",
+        )
+        if shared is not None:
+            sis = "".join(f"<si><t>{s}</t></si>" for s in shared)
+            z.writestr(
+                "xl/sharedStrings.xml",
+                f'<?xml version="1.0"?><sst {S_NS}>{sis}</sst>',
+            )
+        for i, xml in enumerate(sheets.values()):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
+    return buf.getvalue()
+
+
+def test_xlsx_two_sheets_shared_strings_and_types():
+    sheet1 = f"""<?xml version="1.0"?><worksheet {S_NS}><sheetData>
+<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+<row r="2"><c r="A2" t="n"><v>3.0</v></c><c r="B2" t="b"><v>1</v></c></row>
+<row r="3"><c r="A3" t="n"><v>2.5</v></c>
+           <c r="C3" t="inlineStr"><is><t>inline</t></is></c></row>
+</sheetData></worksheet>"""
+    empty = f'<?xml version="1.0"?><worksheet {S_NS}><sheetData/></worksheet>'
+    md = _decode_xlsx(
+        make_xlsx({"Data": sheet1, "Blank": empty}, shared=["name", "ok"])
+    )
+    assert "## Data" in md
+    assert "| name | ok |" in md
+    assert "| 3 | TRUE |" in md  # 3.0 normalized, boolean rendered
+    # gap column B3 is empty, C3 lands in the third column (clean_text
+    # collapses the double space of the empty cell)
+    assert "| 2.5 | | inline |" in md
+    # the empty sheet is gated out entirely (reference _has_content)
+    assert "## Blank" not in md
+
+
+def test_xlsx_all_empty_raises():
+    empty = f'<?xml version="1.0"?><worksheet {S_NS}><sheetData/></worksheet>'
+    with pytest.raises(ValueError, match="no non-empty sheets"):
+        _decode_xlsx(make_xlsx({"Blank": empty}))
+
+
+def make_pdf(content: bytes, compress: bool) -> bytes:
+    """Minimal single-page PDF-1.4 with one content stream."""
+    body = zlib.compress(content) if compress else content
+    filt = b"/Filter /FlateDecode " if compress else b""
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+        b"4 0 obj << "
+        + filt
+        + b"/Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n"
+        + body
+        + b"\nendstream endobj\n",
+    ]
+    return b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF\n"
+
+
+PDF_CONTENT = (
+    b"BT /F1 12 Tf 72 720 Td (Hello \\(escaped\\) world) Tj T* "
+    b"[(kerned ) -120 (pair)] TJ T* "
+    b"<4865782073696465> Tj ET"
+)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_pdf_text_layer(compress):
+    md = _decode_pdf(make_pdf(PDF_CONTENT, compress))
+    assert "Hello (escaped) world" in md
+    assert "kerned pair" in md
+    assert "Hex side" in md  # hex-string decoding
+
+
+def test_pdf_no_text_raises():
+    # header-only / image-only pdf: no BT..ET text operators anywhere
+    payload = make_pdf(b"q 1 0 0 1 0 0 cm Q", compress=True)
+    with pytest.raises(ValueError, match="no extractable text layer"):
+        _decode_pdf(payload)
+    with pytest.raises(ValueError, match="missing %PDF header"):
+        _decode_pdf(b"GIF89a not a pdf")
+
+
+def test_registry_dispatch_now_real():
+    """The registry serves the real decoders (previously NotImplementedError
+    stubs)."""
+    md = get_converter("docx")(
+        make_docx(
+            f'<?xml version="1.0"?><w:document {W_NS}><w:body>'
+            "<w:p><w:r><w:t>via registry</w:t></w:r></w:p>"
+            "</w:body></w:document>"
+        )
+    )
+    assert md == "via registry"
