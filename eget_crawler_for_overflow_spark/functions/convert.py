@@ -327,25 +327,41 @@ def _pdf_literal(data: bytes, i: int) -> tuple[bytes, int]:
 def _pdf_str_decode(raw: bytes) -> str:
     if raw.startswith(b"\xfe\xff"):
         return raw[2:].decode("utf-16-be", "replace")
-    return raw.decode("latin-1", "replace")
+    # cp1252 over latin-1: PDFDocEncoding/WinAnsi put typographic marks
+    # (bullets, dashes, curly quotes) in 0x80-0x9F where latin-1 has
+    # C1 controls that clean_text would erase
+    try:
+        return raw.decode("cp1252")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1", "replace")
 
 
-def _pdf_stream_text(stream: bytes) -> str:
-    """Walk a content stream, collecting show-text operators."""
-    out: list[str] = []
+def _pdf_stream_text(stream: bytes) -> list[tuple[float, str]]:
+    """Walk a content stream, collecting (font_size, text) lines. Font
+    size is tracked from ``/Fn SIZE Tf`` so the caller can run the
+    reference's size-based heading heuristic (pdf_converter.py:360-403)."""
+    out: list[tuple[float, str]] = []
     i, n = 0, len(stream)
     pending: list[str] = []
+    cur_size = 0.0
+    line_size = 0.0  # size at the line's FIRST glyph (Tf may change mid-gap)
+
+    def append(text: str) -> None:
+        nonlocal line_size
+        if not pending:
+            line_size = cur_size
+        pending.append(text)
 
     def flush_line():
         if pending:
-            out.append("".join(pending))
+            out.append((line_size, "".join(pending)))
             pending.clear()
 
     while i < n:
         ch = stream[i : i + 1]
         if ch == b"(":
             raw, i = _pdf_literal(stream, i)
-            pending.append(_pdf_str_decode(raw))
+            append(_pdf_str_decode(raw))
             continue
         if ch == b"<" and stream[i + 1 : i + 2] != b"<":
             j = stream.find(b">", i)
@@ -355,10 +371,19 @@ def _pdf_stream_text(stream: bytes) -> str:
             if len(hexs) % 2:
                 hexs += b"0"
             try:
-                pending.append(_pdf_str_decode(bytes.fromhex(hexs.decode("ascii"))))
+                append(_pdf_str_decode(bytes.fromhex(hexs.decode("ascii"))))
             except ValueError:
                 pass
             i = j + 1
+            continue
+        if stream[i : i + 2] == b"Tf":
+            m = re.search(rb"([\d.]+)\s*$", stream[max(0, i - 24) : i])
+            if m:
+                try:
+                    cur_size = float(m.group(1))
+                except ValueError:
+                    pass
+            i += 2
             continue
         # operators that end a text line
         if stream[i : i + 2] == b"T*" or ch in (b"'", b'"'):
@@ -375,15 +400,19 @@ def _pdf_stream_text(stream: bytes) -> str:
             continue
         i += 1
     flush_line()
-    return "\n".join(s for s in out if s.strip())
+    return [(s, t) for s, t in out if t.strip()]
+
+
+_PDF_BULLET = re.compile(r"^\s*[•‣◦·•*-]\s+(?=\S)")
 
 
 def _decode_pdf(payload: bytes) -> str:
+    import statistics
     import zlib
 
     if not payload.startswith(b"%PDF"):
         raise ValueError("not a PDF (missing %PDF header)")
-    texts: list[str] = []
+    lines: list[tuple[float, str]] = []
     for m in re.finditer(rb"stream\r?\n", payload):
         start = m.end()
         end = payload.find(b"endstream", start)
@@ -401,10 +430,27 @@ def _decode_pdf(payload: bytes) -> str:
             continue  # non-text encodings: skip
         if b"BT" not in data:
             continue
-        t = _pdf_stream_text(data)
-        if t:
-            texts.append(t)
-    joined = clean_text("\n\n".join(texts))
+        lines.extend(_pdf_stream_text(data))
+    if not lines:
+        raise ValueError(
+            "no extractable text layer (scanned image, CID/subset-encoded "
+            "fonts, or encrypted — needs a full PDF library)"
+        )
+    # size-based heading heuristic (pdf_converter.py:360-403): body size =
+    # the dominant font size; much-larger lines become headings. Bullets
+    # normalize to markdown list items (list detect :405-419).
+    body = statistics.mode([s for s, _ in lines]) if lines else 0.0
+    rendered: list[str] = []
+    for size, text in lines:
+        if body > 0 and size >= 1.5 * body:
+            rendered.append("# " + text.strip())
+        elif body > 0 and size >= 1.2 * body:
+            rendered.append("## " + text.strip())
+        elif _PDF_BULLET.match(text):
+            rendered.append(_PDF_BULLET.sub("- ", text))
+        else:
+            rendered.append(text)
+    joined = clean_text("\n".join(rendered))
     if not joined:
         raise ValueError(
             "no extractable text layer (scanned image, CID/subset-encoded "

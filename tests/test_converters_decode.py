@@ -199,3 +199,21 @@ def test_registry_dispatch_now_real():
         )
     )
     assert md == "via registry"
+
+
+def test_pdf_heading_and_list_heuristics():
+    """Size-based headings + bullet normalization (the reference's
+    pdf_converter heading/list heuristics, own-dialect)."""
+    content = (
+        b"BT /F1 24 Tf 72 760 Td (Big Title) Tj "
+        b"/F1 14.5 Tf 0 -30 Td (Subhead) Tj "
+        b"/F1 12 Tf 0 -20 Td (Body line one.) Tj "
+        b"0 -14 Td (\\225 bullet item) Tj "
+        b"0 -14 Td (Body line two.) Tj "
+        b"0 -14 Td (Body line three.) Tj ET"
+    )
+    md = _decode_pdf(make_pdf(content, compress=True))
+    assert "# Big Title" in md
+    assert "## Subhead" in md
+    assert "- bullet item" in md          # \225 = latin-1 bullet
+    assert "Body line one." in md and "# Body" not in md
