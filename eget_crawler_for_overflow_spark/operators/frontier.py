@@ -462,6 +462,17 @@ def _run_crawl(
             hits = pages.select("url", "html").join(
                 F.broadcast(eligible), on="url", how="inner"
             )
+            # the inner join inherits the pages SCAN's partitioning (one
+            # per input split — 128 at sf0.1), so a 20k-row wave smears
+            # ~150 rows per task and the extract pass pays 128 Arrow/
+            # Python-worker round-trips. Coalesce (no shuffle) to core
+            # count before pinning: same scan parallelism, 4× fewer
+            # extract tasks. Harmless for big waves (rows/partition stays
+            # bounded by wave/cores).
+            if os.environ.get("EGET_HITS_COALESCE", "1") != "0":
+                hits = hits.coalesce(
+                    max(2, spark.sparkContext.defaultParallelism)
+                )
             hits = hits.localCheckpoint(eager=True)  # one pages scan/gen
             t0 = _t("fetch-hits", t0)
             missed = eligible.join(
