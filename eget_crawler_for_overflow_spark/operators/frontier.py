@@ -42,7 +42,7 @@ from ..functions.extract import make_extract_bundle_udf
 from ..functions.robots import crawl_delay_udf, robots_allowed_udf
 from ..functions.urls import host_of_url
 from ..sources.checkpoint import CheckpointManager
-from .ordering import assign_seq_counted, top_k
+from .ordering import assign_seq_counted
 from .politeness import salted_fetch_schedule, salted_host_budget_cap
 from .seen import SeenSet
 
@@ -351,16 +351,32 @@ def _run_crawl(
                     * F.lit(cfg.priority_host_weight),
                 ).drop("__host_seen")
                 order_cols = ["priority", "parent_seq", "link_pos"]
+            remaining = None
             if cfg.max_pages is not None:
                 remaining = cfg.max_pages - admitted_count
                 if remaining <= 0:
                     c = _empty(spark, c.schema)
-                else:
-                    c = top_k(c, order_cols, remaining)
             t0 = _t("admission-plan", t0)
-            # the per-partition count pass inside assign_seq doubles as the
-            # admitted-count metric — no row ever reaches the driver
-            seq_df, n_adm = assign_seq_counted(c, order_cols, start=next_seq)
+            # Budget truncation rides the sequence assigner (W3): seqs are
+            # assigned to the WHOLE wave by the range-partitioned two-pass
+            # sort, then `enqueue_seq < start + remaining` keeps exactly
+            # the top-`remaining` in admission order — the same rows
+            # orderBy+limit would keep, but as a distributed narrow filter.
+            # TakeOrderedAndProject (ordering.top_k, still the right
+            # primitive for small per-query top-k) funnels min(k, rows)
+            # per partition through ONE merge point — at the design point
+            # a 10^9-page budget would collect ~p×10^9 rows; this shape
+            # never does. The per-partition count pass inside assign_seq
+            # doubles as the admitted-count metric — no row ever reaches
+            # the driver.
+            seq_df, n_all = assign_seq_counted(c, order_cols, start=next_seq)
+            if remaining is not None and n_all > remaining:
+                seq_df = seq_df.filter(
+                    F.col("enqueue_seq") < F.lit(next_seq + remaining)
+                )
+                n_adm = remaining
+            else:
+                n_adm = n_all
             admitted_g = seq_df.withColumn("generation", F.lit(g))
             t0 = _t("assign_seq", t0)
             if use_priority:
