@@ -136,7 +136,15 @@ def _md_table(rows: list[list[str]]) -> str:
     rows = [r + [""] * (width - len(r)) for r in rows]
 
     def line(cells):
-        return "| " + " | ".join(c.replace("|", "\\|") for c in cells) + " |"
+        # a newline inside a cell (multi-paragraph DOCX cells) would split
+        # the row across physical lines and break the table
+        return (
+            "| "
+            + " | ".join(
+                c.replace("|", "\\|").replace("\n", " ") for c in cells
+            )
+            + " |"
+        )
 
     out = [line(rows[0]), "|" + "---|" * width]
     out += [line(r) for r in rows[1:]]
@@ -299,10 +307,17 @@ def _pdf_literal(data: bytes, i: int) -> tuple[bytes, int]:
         ch = data[i : i + 1]
         if ch == b"\\":
             nxt = data[i + 1 : i + 2]
-            if nxt.isdigit():
+            # only 0-7 are octal; \8 and \9 are tolerated in the wild as
+            # "drop the backslash, keep the digit" (the generic branch)
+            if nxt and nxt in b"01234567":
                 j = i + 1
                 oct_digits = b""
-                while j < len(data) and len(oct_digits) < 3 and data[j : j + 1].isdigit():
+                while (
+                    j < len(data)
+                    and len(oct_digits) < 3
+                    and data[j : j + 1] in b"01234567"
+                    and data[j : j + 1] != b""
+                ):
                     oct_digits += data[j : j + 1]
                     j += 1
                 out.append(int(oct_digits, 8) & 0xFF)
@@ -413,7 +428,10 @@ def _decode_pdf(payload: bytes) -> str:
     if not payload.startswith(b"%PDF"):
         raise ValueError("not a PDF (missing %PDF header)")
     lines: list[tuple[float, str]] = []
-    for m in re.finditer(rb"stream\r?\n", payload):
+    # (?<!end): "endstream\n" must not match as a phantom stream start —
+    # it would re-scan the NEXT object's body as text (duplicated lines,
+    # or cp1252 garbage from raw deflate bytes that happen to contain BT)
+    for m in re.finditer(rb"(?<!end)stream\r?\n", payload):
         start = m.end()
         end = payload.find(b"endstream", start)
         if end == -1:

@@ -42,7 +42,7 @@ from ..functions.extract import make_extract_bundle_udf
 from ..functions.robots import crawl_delay_udf, robots_allowed_udf
 from ..functions.urls import host_of_url
 from ..sources.checkpoint import CheckpointManager
-from .ordering import assign_seq_counted
+from .ordering import assign_seq_counted, top_k
 from .politeness import salted_fetch_schedule, salted_host_budget_cap
 from .seen import SeenSet
 
@@ -353,9 +353,19 @@ def _run_crawl(
                 order_cols = ["priority", "parent_seq", "link_pos"]
             remaining = None
             if cfg.max_pages is not None:
-                remaining = cfg.max_pages - admitted_count
-                if remaining <= 0:
+                # clamp at 0: a resume with a SMALLER max_pages than the
+                # checkpoint already admitted must truncate to nothing,
+                # never drive n_adm/next_seq negative
+                remaining = max(0, cfg.max_pages - admitted_count)
+                if remaining == 0:
                     c = _empty(spark, c.schema)
+                elif remaining <= 10_000:
+                    # small-budget fast path: TakeOrdered truncates the
+                    # wave to ≤ remaining rows BEFORE the seq assigner's
+                    # sort+pin (a wave can exceed the budget many-fold —
+                    # e.g. a huge seed list with a tiny max_pages); its
+                    # p×k single-point merge is harmless at this k
+                    c = top_k(c, order_cols, remaining)
             t0 = _t("admission-plan", t0)
             # Budget truncation rides the sequence assigner (W3): seqs are
             # assigned to the WHOLE wave by the range-partitioned two-pass

@@ -153,11 +153,15 @@ def _mp4_boxes(p: bytes, start: int, end: int):
     i = start
     while i + 8 <= end:
         size, btype = struct.unpack(">I4s", p[i : i + 8])
-        if size == 1:  # 64-bit largesize
+        payload = i + 8
+        if size == 1:  # 64-bit largesize: payload starts AFTER the field
+            if i + 16 > end:
+                return
             size = struct.unpack(">Q", p[i + 8 : i + 16])[0]
+            payload = i + 16
         if size < 8 or i + size > end:
             return
-        yield btype, i + 8, i + size
+        yield btype, payload, i + size
         i += size
 
 
@@ -196,25 +200,35 @@ def _mp4_features(p: bytes) -> dict:
 
 def decode_media(payload: bytes) -> dict:
     """Sniff the container from magic bytes and decode its header
-    metadata — media_type + dimensions/frame counts. Raises ValueError on
-    unrecognized containers (never guesses)."""
+    metadata — media_type + dimensions/frame counts. ALWAYS raises
+    ValueError on undecodable input (unrecognized magic, truncated or
+    malformed headers) — never a bare struct.error/wave.Error that would
+    escape the documented catchable contract and fail a whole task over
+    one corrupt blob."""
+    import wave
+
     p = bytes(payload)
-    if p.startswith(b"\x89PNG\r\n\x1a\n"):
-        w, h = _png_dims(p)
-        return {"media_type": "image", "width": w, "height": h, "n_frames": 1}
-    if p.startswith(b"\xff\xd8"):
-        w, h = _jpeg_dims(p)
-        return {"media_type": "image", "width": w, "height": h, "n_frames": 1}
-    if p[:6] in (b"GIF87a", b"GIF89a"):
-        w, h = _gif_dims(p)
-        return {"media_type": "image", "width": w, "height": h, "n_frames": 1}
-    if p.startswith(b"BM") and len(p) >= 26:
-        w, h = _bmp_dims(p)
-        return {"media_type": "image", "width": w, "height": h, "n_frames": 1}
-    if p.startswith(b"RIFF") and p[8:12] == b"WAVE":
-        return {"media_type": "audio", **_wav_features(p)}
-    if len(p) >= 12 and p[4:8] == b"ftyp":
-        return {"media_type": "video", **_mp4_features(p)}
+    try:
+        if p.startswith(b"\x89PNG\r\n\x1a\n"):
+            w, h = _png_dims(p)
+            return {"media_type": "image", "width": w, "height": h, "n_frames": 1}
+        if p.startswith(b"\xff\xd8"):
+            w, h = _jpeg_dims(p)
+            return {"media_type": "image", "width": w, "height": h, "n_frames": 1}
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = _gif_dims(p)
+            return {"media_type": "image", "width": w, "height": h, "n_frames": 1}
+        if p.startswith(b"BM") and len(p) >= 26:
+            w, h = _bmp_dims(p)
+            return {"media_type": "image", "width": w, "height": h, "n_frames": 1}
+        if p.startswith(b"RIFF") and p[8:12] == b"WAVE":
+            return {"media_type": "audio", **_wav_features(p)}
+        if len(p) >= 12 and p[4:8] == b"ftyp":
+            return {"media_type": "video", **_mp4_features(p)}
+    except ValueError:
+        raise
+    except (struct.error, wave.Error, EOFError, IndexError, KeyError) as e:
+        raise ValueError(f"malformed media container: {e}") from e
     raise ValueError("unrecognized media container (magic bytes unknown)")
 
 

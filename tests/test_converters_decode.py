@@ -217,3 +217,41 @@ def test_pdf_heading_and_list_heuristics():
     assert "## Subhead" in md
     assert "- bullet item" in md          # \225 = latin-1 bullet
     assert "Body line one." in md and "# Body" not in md
+
+
+def test_pdf_endstream_newline_layout_no_phantom_streams():
+    """`endstream\\nendobj` layout (the common real-world spacing): the
+    stream scanner must not treat the tail of 'endstream\\n' as a stream
+    start — that re-scanned the next object's body and duplicated text."""
+    s1 = b"BT /F1 12 Tf (First page text) Tj ET"
+    s2 = b"BT /F1 12 Tf (Second page text) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"4 0 obj << /Length " + str(len(s1)).encode() + b" >>\nstream\n"
+        + s1 + b"\nendstream\nendobj\n"
+        b"5 0 obj << /Length " + str(len(s2)).encode() + b" >>\nstream\n"
+        + s2 + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    md = _decode_pdf(pdf)
+    assert md.count("First page text") == 1
+    assert md.count("Second page text") == 1
+
+
+def test_pdf_nonoctal_digit_escape_tolerated():
+    """\\8 and \\9 are not octal; real parsers drop the backslash and keep
+    the digit instead of failing the whole document."""
+    md = _decode_pdf(make_pdf(rb"BT /F1 12 Tf (a\8b\9c\101d) Tj ET", False))
+    assert "a8b9cAd" in md  # \101 IS octal ('A'); \8 \9 pass through
+
+
+def test_docx_multiparagraph_cell_keeps_table_shape():
+    doc = f"""<?xml version="1.0"?>
+<w:document {W_NS}><w:body>
+  <w:tbl>
+    <w:tr><w:tc><w:p><w:r><w:t>one</w:t></w:r></w:p>
+               <w:p><w:r><w:t>two</w:t></w:r></w:p></w:tc>
+          <w:tc><w:p><w:r><w:t>x</w:t></w:r></w:p></w:tc></w:tr>
+  </w:tbl>
+</w:body></w:document>"""
+    md = _decode_docx(make_docx(doc))
+    assert "| one two | x |" in md  # newline never splits the row

@@ -472,3 +472,43 @@ def test_resume_priority_preserves_order(spark, pages, tmp_path):
         for r in resumed.admitted.collect()
     )
     assert got == want
+
+
+def test_resume_with_smaller_budget_never_goes_negative(spark, pages, tmp_path):
+    """Resuming a checkpointed crawl with a SMALLER max_pages than the
+    checkpoint already admitted must truncate to nothing — never drive
+    n_adm/next_seq negative (checkpoint-state corruption, seq reuse)."""
+    ck = str(tmp_path / "ckpt_shrink")
+    big = CrawlConfig(max_depth=3, max_pages=20, max_generations=2)
+    first = run_crawl(spark, pages, seeds_host0(), big, checkpoint_dir=ck)
+    n_first = first.admitted.count()
+    assert n_first > 5  # enough committed rows to shrink below
+    small = CrawlConfig(
+        max_depth=3, max_pages=n_first - 5, max_generations=64
+    )
+    resumed = run_crawl(
+        spark, pages, seeds_host0(), small, checkpoint_dir=ck, resume=True
+    )
+    # nothing new admitted; the committed rows are untouched
+    assert resumed.admitted.count() == n_first
+    assert resumed.stats["admitted"] == n_first
+    assert resumed.stats["next_seq"] == n_first
+    neg = resumed.metrics.filter(
+        (F.col("name") == "admitted") & (F.col("value") < 0)
+    ).count()
+    assert neg == 0
+    seqs = sorted(r["enqueue_seq"] for r in resumed.admitted.collect())
+    assert seqs == list(range(n_first))  # no seq reuse
+
+
+def test_huge_seed_list_tiny_budget_exact(spark, pages):
+    """Budget fast path (wave ≫ remaining): a seed list far larger than
+    max_pages truncates to exactly the first max_pages seeds in order."""
+    seeds = [pm.url_of(i, N_HOSTS) for i in range(400)]
+    cfg = CrawlConfig(max_depth=1, max_pages=7, same_domain=False)
+    res = run_crawl(spark, pages, seeds, cfg)
+    got = [
+        r["url"]
+        for r in res.admitted.orderBy("enqueue_seq").collect()
+    ]
+    assert got == seeds[:7]

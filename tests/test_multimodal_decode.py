@@ -158,3 +158,35 @@ def test_extract_features_real_decoder_through_spark(spark):
     assert (got[3]["width"], got[3]["height"], got[3]["n_frames"]) == (
         320, 240, 42,
     )
+
+
+def test_malformed_containers_raise_valueerror_only():
+    """decode_media's contract: ValueError on ANY undecodable input —
+    truncated headers must not leak struct.error/wave.Error (they would
+    fail a whole Spark task over one corrupt blob)."""
+    for bad in (
+        b"GIF89a\x01\x02",                # truncated GIF descriptor
+        b"RIFF1234WAVExx",                # bogus WAV chunks
+        b"\x89PNG\r\n\x1a\nXXXX",         # PNG without IHDR
+        b"\x00\x00\x00\x0cftypisom",      # ftyp only, no moov
+        make_mp4(1, 1, 6)[:40],           # truncated MP4 boxes
+    ):
+        with pytest.raises(ValueError):
+            decode_media(bad)
+
+
+def test_mp4_largesize_box_payload_offset():
+    """size==1 boxes carry a 64-bit largesize; the payload starts AFTER
+    that field — walking from i+8 would parse the length as a child box."""
+    inner = make_mp4(640, 360, 24)
+    # rewrap the moov box (last box) as a largesize box
+    ftyp_len = struct.unpack(">I", inner[:4])[0]
+    moov = inner[ftyp_len:]
+    moov_payload = moov[8:]
+    large = (
+        struct.pack(">I4s", 1, b"moov")
+        + struct.pack(">Q", 16 + len(moov_payload))
+        + moov_payload
+    )
+    got = decode_media(inner[:ftyp_len] + large)
+    assert (got["width"], got["height"], got["n_frames"]) == (640, 360, 24)
