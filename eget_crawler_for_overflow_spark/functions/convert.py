@@ -223,8 +223,10 @@ def _xlsx_cell_value(c, shared: list[str]) -> str:
     if t == "b":
         return "TRUE" if raw == "1" else "FALSE"
     # numbers: render integers without the trailing .0 (the reference's
-    # _format_cell_value does the same normalization)
-    if raw and t in ("n", "str"):
+    # _format_cell_value does the same normalization). t="str" cells are
+    # cached TEXT results of formulas — openpyxl returns those verbatim,
+    # so "007" must not collapse to "7".
+    if raw and t == "n":
         try:
             f = float(raw)
             if f.is_integer() and "e" not in raw.lower():
@@ -437,8 +439,13 @@ def _decode_pdf(payload: bytes) -> str:
         if end == -1:
             continue
         data = payload[start:end].rstrip(b"\r\n")
-        # the object dict sits just before 'stream'
-        head = payload[max(0, m.start() - 400) : m.start()]
+        # The object dict sits between the enclosing 'N 0 obj' token and
+        # 'stream'. A fixed lookback window can push /FlateDecode (or the
+        # skip-markers) out of view for long dictionaries, so anchor on
+        # the obj token; fall back to 400 bytes for malformed producers.
+        obj_at = payload.rfind(b" obj", max(0, m.start() - 4096), m.start())
+        head_from = obj_at + 4 if obj_at != -1 else max(0, m.start() - 400)
+        head = payload[head_from : m.start()]
         if b"/FlateDecode" in head:
             try:
                 data = zlib.decompress(data)

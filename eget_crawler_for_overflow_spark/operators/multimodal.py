@@ -169,33 +169,48 @@ _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
 
 def _mp4_features(p: bytes) -> dict:
-    width = height = n_frames = 0
+    # Per-trak scoping: an audio+video MP4's audio stts (≈43 AAC frames/s)
+    # outcounts the video frames, so n_frames must come from the trak whose
+    # tkhd has nonzero width/height, not a global max over all stts boxes.
+    tracks: list[dict] = []  # one entry per trak: {w, h, frames}
 
-    def walk(start: int, end: int) -> None:
-        nonlocal width, height, n_frames
+    def walk(start: int, end: int, track: dict | None) -> None:
         for btype, s, e in _mp4_boxes(p, start, end):
-            if btype in _MP4_CONTAINERS:
-                walk(s, e)
-            elif btype == b"tkhd":
+            if btype == b"trak":
+                t = {"w": 0, "h": 0, "frames": 0}
+                tracks.append(t)
+                walk(s, e, t)
+            elif btype in _MP4_CONTAINERS:
+                walk(s, e, track)
+            elif btype == b"tkhd" and track is not None:
                 version = p[s]
-                off = s + (92 if version == 1 else 80)
+                # ISO 14496-12 §8.3.2: after the version byte sit 3 flag
+                # bytes, creation/modification/track_ID/reserved/duration
+                # (20 bytes v0 / 32 v1), reserved(8), layer/alt/vol/
+                # reserved(8), matrix(36) — width starts at payload+76 (v0)
+                # or +88 (v1).
+                off = s + (88 if version == 1 else 76)
                 if off + 8 <= e:
                     w16, h16 = struct.unpack(">II", p[off : off + 8])
-                    # 16.16 fixed point; keep the largest track (video)
-                    width = max(width, w16 >> 16)
-                    height = max(height, h16 >> 16)
-            elif btype == b"stts":
+                    track["w"] = w16 >> 16  # 16.16 fixed point
+                    track["h"] = h16 >> 16
+            elif btype == b"stts" and track is not None:
                 n = struct.unpack(">I", p[s + 4 : s + 8])[0]
                 total = 0
                 for j in range(n):
                     cnt = struct.unpack(">I", p[s + 8 + j * 8 : s + 12 + j * 8])[0]
                     total += cnt
-                n_frames = max(n_frames, total)
+                track["frames"] = total
 
-    walk(0, len(p))
-    if not (width or height or n_frames):
+    walk(0, len(p), None)
+    if not tracks or not any(t["w"] or t["h"] or t["frames"] for t in tracks):
         raise ValueError("malformed MP4 (no tkhd/stts found)")
-    return {"width": width, "height": height, "n_frames": n_frames}
+    video = [t for t in tracks if t["w"] or t["h"]]
+    if video:
+        best = max(video, key=lambda t: t["w"] * t["h"])
+        return {"width": best["w"], "height": best["h"], "n_frames": best["frames"]}
+    # audio-only MP4: no dimensions; report the largest sample count
+    return {"width": 0, "height": 0, "n_frames": max(t["frames"] for t in tracks)}
 
 
 def decode_media(payload: bytes) -> dict:

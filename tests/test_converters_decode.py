@@ -255,3 +255,31 @@ def test_docx_multiparagraph_cell_keeps_table_shape():
 </w:body></w:document>"""
     md = _decode_docx(make_docx(doc))
     assert "| one two | x |" in md  # newline never splits the row
+
+
+def test_xlsx_formula_str_cells_verbatim():
+    # t="str" cells are cached TEXT results of formulas: "007" must stay
+    # "007" (openpyxl/the reference only normalize numeric t="n" cells).
+    sheet = f"""<?xml version="1.0"?><worksheet {S_NS}><sheetData>
+<row r="1"><c r="A1" t="str"><v>007</v></c><c r="B1" t="n"><v>7.0</v></c></row>
+</sheetData></worksheet>"""
+    md = _decode_xlsx(make_xlsx({"S": sheet}))
+    assert "| 007 | 7 |" in md
+
+
+def test_pdf_long_object_dict_still_sniffs_filter():
+    """A stream dict longer than the old 400-byte lookback window must
+    still see /FlateDecode — the sniff anchors on the 'N 0 obj' token."""
+    content = b"BT /F1 12 Tf (long dict ok) Tj ET"
+    body = zlib.compress(content)
+    pad = b"/Metadata (" + b"x" * 600 + b") "
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+        b"4 0 obj << /Filter /FlateDecode " + pad
+        + b"/Length " + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream endobj\n",
+    ]
+    md = _decode_pdf(b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF\n")
+    assert "long dict ok" in md

@@ -72,21 +72,39 @@ def _box(btype: bytes, payload: bytes) -> bytes:
     return struct.pack(">I4s", len(payload) + 8, btype) + payload
 
 
-def make_mp4(w: int, h: int, n_frames: int) -> bytes:
-    tkhd = (
-        b"\x00" + b"\x00" * 3  # version 0 + flags
-        + b"\x00" * 76  # ctime..matrix
-        + struct.pack(">II", w << 16, h << 16)  # 16.16 fixed
+def _make_tkhd(w: int, h: int, version: int = 0) -> bytes:
+    # ISO 14496-12 §8.3.2: ver/flags(4) + ctime/mtime/track_ID/reserved/
+    # duration (20 v0 / 32 v1) + reserved(8) + layer/alt/vol/reserved(8)
+    # + matrix(36) + width/height (16.16 fixed). v0 payload = 84 bytes.
+    times = 32 if version else 20
+    return (
+        bytes([version]) + b"\x00" * 3
+        + b"\x00" * (times + 8 + 8 + 36)
+        + struct.pack(">II", w << 16, h << 16)
     )
-    stts = (
+
+
+def _make_stts(n_frames: int) -> bytes:
+    return (
         b"\x00" * 4
         + struct.pack(">I", 2)  # two entries
         + struct.pack(">II", n_frames - 5, 512)
         + struct.pack(">II", 5, 1024)
     )
-    stbl = _box(b"stbl", _box(b"stts", stts))
-    trak = _box(b"trak", _box(b"tkhd", tkhd) + _box(b"mdia", _box(b"minf", stbl)))
-    moov = _box(b"moov", trak)
+
+
+def _make_trak(w: int, h: int, n_frames: int, version: int = 0) -> bytes:
+    stbl = _box(b"stbl", _box(b"stts", _make_stts(n_frames)))
+    return _box(
+        b"trak",
+        _box(b"tkhd", _make_tkhd(w, h, version))
+        + _box(b"mdia", _box(b"minf", stbl)),
+    )
+
+
+def make_mp4(w: int, h: int, n_frames: int, version: int = 0,
+             extra_traks: bytes = b"") -> bytes:
+    moov = _box(b"moov", _make_trak(w, h, n_frames, version) + extra_traks)
     ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
     return ftyp + moov
 
@@ -121,6 +139,33 @@ def test_mp4_box_walk():
     assert got == {
         "media_type": "video", "width": 1280, "height": 720, "n_frames": 300,
     }
+    # spec-size sanity: a v0 tkhd box is exactly 8 header + 84 payload
+    assert len(_box(b"tkhd", _make_tkhd(1280, 720))) == 92
+
+
+def test_mp4_tkhd_version1():
+    # v1 tkhd carries 64-bit times: payload is 96 bytes, width at +88
+    got = decode_media(make_mp4(1920, 1080, 24, version=1))
+    assert (got["width"], got["height"]) == (1920, 1080)
+    assert got["n_frames"] == 24
+
+
+def test_mp4_audio_video_tracks_scoped():
+    # Typical MP4: video trak (0 < frames) + audio trak (no dims, MANY
+    # more stts samples). n_frames must come from the video trak, not a
+    # global max that picks up the audio sample count.
+    audio = _make_trak(0, 0, 43 * 60, version=0)  # 43 AAC frames/s × 60 s
+    got = decode_media(make_mp4(640, 360, 30 * 60, extra_traks=audio))
+    assert got == {
+        "media_type": "video", "width": 640, "height": 360, "n_frames": 1800,
+    }
+
+
+def test_mp4_audio_only():
+    # m4a-style: one trak, no dimensions — report its sample count
+    got = decode_media(make_mp4(0, 0, 430))
+    assert got == {"media_type": "video", "width": 0, "height": 0,
+                   "n_frames": 430}
 
 
 def test_unknown_container_raises():
