@@ -87,11 +87,19 @@ def clean_text(text: str) -> str:
 # ---------------------------------------------------------------------------
 
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_WP = "{http://schemas.openxmlformats.org/drawingml/2006/wordprocessingDrawing}"
+_REL = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 
 
-def _docx_para_text(p) -> str:
-    """Concatenate a paragraph's runs: w:t text, w:tab → tab, w:br → \\n."""
+def _docx_para_text(p, rels: dict[str, str] | None = None) -> str:
+    """Concatenate a paragraph's runs: w:t text, w:tab → tab, w:br → \\n.
+    With ``rels`` (r:id → zip-manifest media path), embedded drawings
+    (docx_converter.py:371-461) become inline markdown image references —
+    alt text from wp:docPr descr/name, target the manifest path; pixel
+    decode itself stays lib-blocked."""
     parts: list[str] = []
+    alt = "Image"
     for el in p.iter():
         tag = el.tag
         if tag == f"{_W}t":
@@ -100,6 +108,12 @@ def _docx_para_text(p) -> str:
             parts.append("\t")
         elif tag == f"{_W}br":
             parts.append("\n")
+        elif tag == f"{_WP}docPr":
+            alt = el.get("descr") or el.get("name") or "Image"
+        elif tag == f"{_A}blip" and rels is not None:
+            target = rels.get(el.get(f"{_REL}embed", ""))
+            if target:
+                parts.append(f"![{alt}]({target})")
     return "".join(parts)
 
 
@@ -158,12 +172,18 @@ def _decode_docx(payload: bytes) -> str:
 
     with zipfile.ZipFile(io.BytesIO(payload)) as z:
         body = ET.fromstring(z.read("word/document.xml")).find(f"{_W}body")
+        rels: dict[str, str] = {}
+        if "word/_rels/document.xml.rels" in z.namelist():
+            for rel in ET.fromstring(z.read("word/_rels/document.xml.rels")):
+                tgt = rel.get("Target", "")
+                if "media/" in tgt:
+                    rels[rel.get("Id", "")] = tgt.lstrip("/")
     if body is None:
         raise ValueError("DOCX has no document body")
     blocks: list[str] = []
     for el in body:
         if el.tag == f"{_W}p":
-            text = _docx_para_text(el)
+            text = _docx_para_text(el, rels)
             if not text.strip():
                 continue
             lvl = _docx_heading_level(el)
@@ -179,7 +199,7 @@ def _decode_docx(payload: bytes) -> str:
             rows = [
                 [
                     "\n".join(
-                        _docx_para_text(p) for p in tc.findall(f"{_W}p")
+                        _docx_para_text(p, rels) for p in tc.findall(f"{_W}p")
                     ).strip()
                     for tc in tr.findall(f"{_W}tc")
                 ]
@@ -353,15 +373,111 @@ def _pdf_str_decode(raw: bytes) -> str:
         return raw.decode("latin-1", "replace")
 
 
-def _pdf_stream_text(stream: bytes) -> list[tuple[float, str]]:
+def _cmap_hex_utf16(h: bytes) -> str:
+    """Decode a bfchar/bfrange destination hex token as UTF-16BE."""
+    if len(h) % 4:
+        h = h.zfill((len(h) + 3) // 4 * 4)
+    return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _pdf_parse_cmap(data: bytes) -> dict[int, str]:
+    """ToUnicode CMap (2-byte codespace, the Identity-H norm): bfchar
+    pairs and bfrange spans (scalar-increment and array forms)."""
+    cmap: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = m.group(1)
+        for lo, _hi, arr in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", body, re.S
+        ):
+            for k, d in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", arr)):
+                cmap[int(lo, 16) + k] = _cmap_hex_utf16(d)
+        body = re.sub(
+            rb"<[0-9A-Fa-f]+>\s*<[0-9A-Fa-f]+>\s*\[.*?\]", b"", body, flags=re.S
+        )
+        for lo, hi, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", body
+        ):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i - lo_i > 0xFFFF:
+                continue  # malformed range; don't build a huge dict
+            base = _cmap_hex_utf16(dst)
+            # the increment applies to the LAST UTF-16 code unit
+            head, last = base[:-1], ord(base[-1]) if base else 0
+            for c in range(lo_i, hi_i + 1):
+                cmap[c] = head + chr(last + (c - lo_i))
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            cmap[int(src, 16)] = _cmap_hex_utf16(dst)
+    return cmap
+
+
+def _pdf_font_cmaps(payload: bytes) -> dict[str, dict[int, str]]:
+    """Resolve page-resource font names (/F1 7 0 R) to their fonts'
+    ToUnicode CMaps. This is what lets subset/CID (Identity-H) PDFs —
+    the most common real-world encoding — decode to text instead of
+    raising: the embedded CMap says what each 2-byte glyph code means.
+    Names are aggregated document-wide (last binding wins); per-page
+    resource scoping would need a full object-graph walk."""
+    import zlib
+
+    objs: dict[int, bytes] = {}
+    for om in re.finditer(rb"(\d+)\s+0\s+obj", payload):
+        e = payload.find(b"endobj", om.end())
+        objs[int(om.group(1))] = payload[om.end() : e if e != -1 else len(payload)]
+    name_to_font: dict[str, int] = {}
+    for rm in re.finditer(rb"/Font\s*<<(.*?)>>", payload, re.S):
+        for nm, num in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", rm.group(1)):
+            name_to_font[nm.decode("ascii")] = int(num)
+    cmaps: dict[str, dict[int, str]] = {}
+    for name, fnum in name_to_font.items():
+        fbody = objs.get(fnum, b"")
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fbody)
+        if not tm:
+            continue
+        sbody = objs.get(int(tm.group(1)))
+        if sbody is None:
+            continue
+        sm = re.search(rb"stream\r?\n", sbody)
+        send = sbody.find(b"endstream")
+        if not sm or send == -1:
+            continue
+        data = sbody[sm.end() : send].rstrip(b"\r\n")
+        if b"/FlateDecode" in sbody[: sm.start()]:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        cm = _pdf_parse_cmap(data)
+        if cm:
+            cmaps[name] = cm
+    return cmaps
+
+
+def _pdf_stream_text(
+    stream: bytes, cmaps: dict[str, dict[int, str]] | None = None
+) -> list[tuple[float, str]]:
     """Walk a content stream, collecting (font_size, text) lines. Font
-    size is tracked from ``/Fn SIZE Tf`` so the caller can run the
-    reference's size-based heading heuristic (pdf_converter.py:360-403)."""
+    size AND name are tracked from ``/Fn SIZE Tf`` — size feeds the
+    reference's size-based heading heuristic (pdf_converter.py:360-403),
+    name selects the active ToUnicode CMap for CID-coded strings."""
     out: list[tuple[float, str]] = []
     i, n = 0, len(stream)
     pending: list[str] = []
     cur_size = 0.0
+    cur_cmap: dict[int, str] | None = None
     line_size = 0.0  # size at the line's FIRST glyph (Tf may change mid-gap)
+
+    def decode(raw: bytes) -> str:
+        if cur_cmap is not None:
+            return "".join(
+                cur_cmap.get(
+                    int.from_bytes(raw[k : k + 2], "big"), "�"
+                )
+                for k in range(0, len(raw) - 1, 2)
+            )
+        return _pdf_str_decode(raw)
 
     def append(text: str) -> None:
         nonlocal line_size
@@ -378,7 +494,7 @@ def _pdf_stream_text(stream: bytes) -> list[tuple[float, str]]:
         ch = stream[i : i + 1]
         if ch == b"(":
             raw, i = _pdf_literal(stream, i)
-            append(_pdf_str_decode(raw))
+            append(decode(raw))
             continue
         if ch == b"<" and stream[i + 1 : i + 2] != b"<":
             j = stream.find(b">", i)
@@ -388,18 +504,19 @@ def _pdf_stream_text(stream: bytes) -> list[tuple[float, str]]:
             if len(hexs) % 2:
                 hexs += b"0"
             try:
-                append(_pdf_str_decode(bytes.fromhex(hexs.decode("ascii"))))
+                append(decode(bytes.fromhex(hexs.decode("ascii"))))
             except ValueError:
                 pass
             i = j + 1
             continue
         if stream[i : i + 2] == b"Tf":
-            m = re.search(rb"([\d.]+)\s*$", stream[max(0, i - 24) : i])
+            m = re.search(rb"/(\w+)\s+([\d.]+)\s*$", stream[max(0, i - 48) : i])
             if m:
                 try:
-                    cur_size = float(m.group(1))
+                    cur_size = float(m.group(2))
                 except ValueError:
                     pass
+                cur_cmap = (cmaps or {}).get(m.group(1).decode("ascii"))
             i += 2
             continue
         # operators that end a text line
@@ -422,6 +539,70 @@ def _pdf_stream_text(stream: bytes) -> list[tuple[float, str]]:
 
 _PDF_BULLET = re.compile(r"^\s*[•‣◦·•*-]\s+(?=\S)")
 
+# Table-shape heuristics, same two patterns the reference applies to the
+# extracted page text (pdf_converter.py:211-226): grid-drawn tables and
+# consistent multi-space column alignment.
+_PDF_TABLE_GRID = re.compile(r"[\|\+][-\+]+[\|\+][\s\S]+?[\|\+][-\+]+[\|\+]")
+_PDF_TABLE_SPACED = re.compile(r"(\s{2,}\S+){3,}[\s\S]+?(\s{2,}\S+){3,}")
+_PDF_TABLE_SEP = re.compile(r"^[\|\+][-\+]+[\|\+]$")
+
+# Image XObjects are stream objects whose dict carries /Subtype /Image;
+# the filter determines the format (pdf_converter.py:196-209).
+_PDF_IMG_FORMAT = {
+    b"/DCTDecode": "jpeg",
+    b"/JPXDecode": "jp2",
+    b"/CCITTFaxDecode": "png",
+    b"/FlateDecode": "png",
+}
+
+
+def _pdf_parse_table_text(table_text: str) -> list[list[str]]:
+    """pdf_converter.py:255-279 cell splitting: drop +---+ separator
+    rows, split on | (trimming the border cells) else on 2+ spaces."""
+    rows: list[list[str]] = []
+    for line in table_text.split("\n"):
+        if _PDF_TABLE_SEP.match(line):
+            continue
+        if "|" in line:
+            cells = [c.strip() for c in line.split("|")]
+            if cells and not cells[0]:
+                cells = cells[1:]
+            if cells and not cells[-1]:
+                cells = cells[:-1]
+        else:
+            cells = [c.strip() for c in re.split(r"\s{2,}", line.strip())]
+        if cells:
+            rows.append(cells)
+    return rows
+
+
+def _pdf_detect_tables(texts: list[str]) -> dict[int, tuple[int, str]]:
+    """Run the reference's table patterns over the joined text lines and
+    map each surviving match (>1 parsed row, pdf_converter.py:232) back to
+    line indices. Returns {start_line: (end_line_exclusive, rendered_md)};
+    regions never overlap (grid pattern wins, then first-come)."""
+    import bisect
+
+    text = "\n".join(texts)
+    offs = [0]
+    for t in texts:
+        offs.append(offs[-1] + len(t) + 1)
+    regions: list[tuple[int, int, str]] = []
+    for pat in (_PDF_TABLE_GRID, _PDF_TABLE_SPACED):
+        for m in pat.finditer(text):
+            rows = _pdf_parse_table_text(m.group())
+            if len(rows) > 1:
+                s = bisect.bisect_right(offs, m.start()) - 1
+                e = bisect.bisect_right(offs, max(m.start(), m.end() - 1))
+                regions.append((s, e, _md_table(rows)))
+    out: dict[int, tuple[int, str]] = {}
+    taken: set[int] = set()
+    for s, e, md in sorted(regions, key=lambda r: (r[0], r[1])):
+        if taken.isdisjoint(range(s, e)):
+            out[s] = (e, md)
+            taken.update(range(s, e))
+    return out
+
 
 def _decode_pdf(payload: bytes) -> str:
     import statistics
@@ -429,7 +610,9 @@ def _decode_pdf(payload: bytes) -> str:
 
     if not payload.startswith(b"%PDF"):
         raise ValueError("not a PDF (missing %PDF header)")
+    cmaps = _pdf_font_cmaps(payload)
     lines: list[tuple[float, str]] = []
+    images: list[str] = []  # markdown refs, encounter order
     # (?<!end): "endstream\n" must not match as a phantom stream start —
     # it would re-scan the NEXT object's body as text (duplicated lines,
     # or cp1252 garbage from raw deflate bytes that happen to contain BT)
@@ -446,6 +629,15 @@ def _decode_pdf(payload: bytes) -> str:
         obj_at = payload.rfind(b" obj", max(0, m.start() - 4096), m.start())
         head_from = obj_at + 4 if obj_at != -1 else max(0, m.start() - 400)
         head = payload[head_from : m.start()]
+        if re.search(rb"/Subtype\s*/Image", head):
+            # Embedded image XObject (pdf_converter.py:123-209): pixel
+            # decode is lib-blocked here, so emit a markdown *reference*
+            # carrying the number/format the reference records — alt text
+            # is the literal 'Image' (document_structure.py:115-117).
+            fm = re.search(rb"/Filter\s*(?:\[\s*)?(/\w+)", head)
+            fmt = _PDF_IMG_FORMAT.get(fm.group(1) if fm else b"", "png")
+            images.append(f"![Image](media/image{len(images) + 1}.{fmt})")
+            continue
         if b"/FlateDecode" in head:
             try:
                 data = zlib.decompress(data)
@@ -455,18 +647,32 @@ def _decode_pdf(payload: bytes) -> str:
             continue  # non-text encodings: skip
         if b"BT" not in data:
             continue
-        lines.extend(_pdf_stream_text(data))
-    if not lines:
+        lines.extend(_pdf_stream_text(data, cmaps))
+    if not lines and not images:
         raise ValueError(
-            "no extractable text layer (scanned image, CID/subset-encoded "
-            "fonts, or encrypted — needs a full PDF library)"
+            "no extractable text layer (scanned image, CID/subset fonts "
+            "WITHOUT a ToUnicode CMap, or encrypted — needs a full PDF "
+            "library)"
         )
     # size-based heading heuristic (pdf_converter.py:360-403): body size =
     # the dominant font size; much-larger lines become headings. Bullets
-    # normalize to markdown list items (list detect :405-419).
+    # normalize to markdown list items (list detect :405-419). Table-shaped
+    # line regions (pdf_converter.py:211-253) render as markdown tables
+    # INSTEAD of per-line text — the reference emits both the paragraphs
+    # and a separate TABLE element for the same text; here the table
+    # replaces the raw lines so the text appears once.
     body = statistics.mode([s for s, _ in lines]) if lines else 0.0
+    tables = _pdf_detect_tables([t for _, t in lines])
     rendered: list[str] = []
-    for size, text in lines:
+    i = 0
+    while i < len(lines):
+        if i in tables:
+            end, md = tables[i]
+            rendered.append("\n" + md + "\n")
+            i = end
+            continue
+        size, text = lines[i]
+        i += 1
         if body > 0 and size >= 1.5 * body:
             rendered.append("# " + text.strip())
         elif body > 0 and size >= 1.2 * body:
@@ -475,11 +681,13 @@ def _decode_pdf(payload: bytes) -> str:
             rendered.append(_PDF_BULLET.sub("- ", text))
         else:
             rendered.append(text)
+    rendered.extend(images)
     joined = clean_text("\n".join(rendered))
     if not joined:
         raise ValueError(
-            "no extractable text layer (scanned image, CID/subset-encoded "
-            "fonts, or encrypted — needs a full PDF library)"
+            "no extractable text layer (scanned image, CID/subset fonts "
+            "WITHOUT a ToUnicode CMap, or encrypted — needs a full PDF "
+            "library)"
         )
     return joined
 
