@@ -736,6 +736,121 @@ def convert_files(files: DataFrame) -> DataFrame:
     return files.select("path", "content").mapInPandas(run, CONVERT_SCHEMA)
 
 
+_DOCX_NS = (
+    'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+)
+_XLSX_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+
+
+def _fixture_docx(i: int, lang: str) -> bytes:
+    import io
+    import zipfile
+
+    doc = (
+        f'<?xml version="1.0"?><w:document {_DOCX_NS}><w:body>'
+        f'<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+        f"<w:r><w:t>Doc {i}</w:t></w:r></w:p>"
+        f"<w:p><w:r><w:t>lang {lang} n {i * 7 % 100}</w:t></w:r></w:p>"
+        f'<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/></w:numPr></w:pPr>'
+        f"<w:r><w:t>item {i % 7}</w:t></w:r></w:p>"
+        f"</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _fixture_xlsx(i: int) -> bytes:
+    import io
+    import zipfile
+
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {_XLSX_NS}><sheetData>'
+        f'<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c>'
+        f'<c r="B1" t="inlineStr"><is><t>v</t></is></c></row>'
+        f'<row r="2"><c r="A2" t="n"><v>{i}</v></c>'
+        f'<c r="B2" t="n"><v>{i * 3}</v></c></row>'
+        f"</sheetData></worksheet>"
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook {_XLSX_NS} '
+        f'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+        f'relationships"><sheets>'
+        f'<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+        'openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://x" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def _fixture_pdf(i: int) -> bytes:
+    import zlib
+
+    content = (
+        f"BT /F2 24 Tf (Doc {i}) Tj T* "
+        f"/F1 12 Tf (body line {i % 5}) Tj T* (second line) Tj ET"
+    ).encode()
+    body = zlib.compress(content)
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Filter /FlateDecode /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n"
+        + body
+        + b"\nendstream endobj\n%%EOF\n"
+    )
+
+
+FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def synthesize_office_files(docs: DataFrame) -> DataFrame:
+    """Deterministic DOCX/XLSX/PDF binary fixtures derived from the
+    documents table (doc_id cycles the format; every 31st payload is
+    corrupt to exercise the per-file error envelope). This is the driver
+    fixture for the `convert_files` oracle query: the oracle predicts the
+    decoded markdown in closed form because the construction is inverted —
+    real zip/XML/Flate bytes in, spec-driven decode out."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            paths: list[str] = []
+            blobs: list[bytes] = []
+            for doc_id, lang in zip(b["doc_id"], b["lang"]):
+                i = int(doc_id)
+                ext = ("docx", "xlsx", "pdf")[i % 3]
+                paths.append(f"doc_{i}.{ext}")
+                if i % 31 == 0:
+                    blobs.append(b"not the declared format")
+                elif ext == "docx":
+                    blobs.append(_fixture_docx(i, str(lang)))
+                elif ext == "xlsx":
+                    blobs.append(_fixture_xlsx(i))
+                else:
+                    blobs.append(_fixture_pdf(i))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    return docs.select("doc_id", "lang").mapInPandas(build, FILES_SCHEMA)
+
+
 def read_binary_files(spark, path: str, glob: str = "*") -> DataFrame:
     """S4 source: spark.read.format('binaryFile')."""
     return (

@@ -142,15 +142,42 @@ SELECT regexp_extract(dst_url, 'https://([^/]+)/', 1) AS host,
 FROM links_g GROUP BY 1
 """
 
-ORACLES["exclude_patterns"] = (
-    f"WITH {PAGES} SELECT url FROM pages_g "
-    f"WHERE NOT regexp_matches(url, '{EXCLUDE_PAT}')"
+# F5+F6 merged (round 5): per-url booleans for both gates — the engine's
+# pattern UDF keeps a url iff it misses every exclude / hits any include.
+ORACLES["pattern_filters"] = (
+    f"WITH {PAGES} SELECT url, "
+    f"NOT regexp_matches(url, '{EXCLUDE_PAT}') AS keep_excl, "
+    f"regexp_matches(url, '{INCLUDE_PAT}') AS keep_incl FROM pages_g"
 )
 
-ORACLES["include_patterns"] = (
-    f"WITH {PAGES} SELECT url FROM pages_g "
-    f"WHERE regexp_matches(url, '{INCLUDE_PAT}')"
-)
+# §2.11 converter round-trip: the Spark side builds real DOCX/XLSX/PDF
+# bytes from (doc_id, lang) and decodes them with the from-scratch stdlib
+# decoders; the construction is deterministic, so the decoded markdown —
+# and the per-file error envelope for the every-31st corrupt payload —
+# has this closed form.
+ORACLES["convert_files"] = """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' ELSE 'pdf' END
+    AS file_type,
+  CASE WHEN doc_id % 31 = 0 THEN NULL
+    WHEN doc_id % 3 = 0 THEN
+      '# Doc ' || doc_id || chr(10) || chr(10) ||
+      'lang ' || lang || ' n ' || (doc_id * 7 % 100) || chr(10) || chr(10) ||
+      '- item ' || (doc_id % 7)
+    WHEN doc_id % 3 = 1 THEN
+      '## S' || chr(10) || chr(10) ||
+      '| k | v |' || chr(10) || '|---|---|' || chr(10) ||
+      '| ' || doc_id || ' | ' || (doc_id * 3) || ' |'
+    ELSE
+      '# Doc ' || doc_id || chr(10) ||
+      'body line ' || (doc_id % 5) || chr(10) || 'second line'
+  END AS markdown,
+  CASE WHEN doc_id % 31 != 0 THEN NULL
+    WHEN doc_id % 3 = 2 THEN 'ValueError: not a PDF (missing %PDF header)'
+    ELSE 'BadZipFile: File is not a zip file'
+  END AS error
+FROM documents
+"""
 
 ORACLES["host_filter"] = (
     f"WITH {PAGES}, {LINKS} SELECT src_url AS url, dst_url AS link FROM links_g"
@@ -364,6 +391,9 @@ PP_NSALTS = 2
 PP_GENS = 24  # engine max_generations == unrolled waves; drain ends ~g14
 
 
+PP_BUDGET = 4  # per-generation per-host admission cap (triple combo)
+
+
 def _bfs_priority_politeness_sql(
     max_depth: int = PP_DEPTH,
     w_d: float = PP_W_DEPTH,
@@ -372,6 +402,7 @@ def _bfs_priority_politeness_sql(
     delay: float = PP_DELAY,
     n_salts: int = PP_NSALTS,
     gens: int = PP_GENS,
+    host_budget: int | None = None,
 ) -> str:
     def host(col: str) -> str:
         return f"regexp_extract({col}, 'https?://([^/]+)/', 1)"
@@ -390,17 +421,42 @@ eli{g} AS MATERIALIZED (
 def{g} AS MATERIALIZED (
   SELECT url, host, depth, seq FROM sch{g} WHERE ft >= {window}),"""
 
+    # seeds go through the same admission pipeline as links, so the
+    # host budget caps the seed wave too (rank = seed order) and the
+    # survivors are renumbered contiguously.
+    seed_cap = (
+        f"WHERE hr <= {host_budget}" if host_budget is not None else ""
+    )
     parts = [
         f"WITH {PAGES}, {pm.duckdb_links_pos_cte(SF)},",
         f"""adm0 AS (
-  SELECT p.url AS url, 'host' || p.host || '.example' AS host, 0 AS depth,
-         CAST(s.j AS BIGINT) AS seq
-  FROM pages_g p JOIN {_SEED_VALUES} s(i, j) ON p.i = s.i),
+  SELECT url, host, 0 AS depth,
+         CAST(ROW_NUMBER() OVER (ORDER BY j) - 1 AS BIGINT) AS seq
+  FROM (
+    SELECT p.url AS url, 'host' || p.host || '.example' AS host, s.j AS j,
+           ROW_NUMBER() OVER (PARTITION BY p.host ORDER BY s.j) AS hr
+    FROM pages_g p JOIN {_SEED_VALUES} s(i, j) ON p.i = s.i) {seed_cap}),
 seen0 AS MATERIALIZED (SELECT url, host FROM adm0),
 fet0 AS (SELECT url, host, depth, seq FROM adm0),""",
         sched_block(0),
     ]
     for g in range(1, gens):
+        # the engine's salted_host_budget_cap is exact vs a plain per-host
+        # row_number rank (property-tested), so the oracle uses the plain
+        # window: per-host top-budget by admission order, BEFORE priority
+        # scoring — same placement as frontier.py run_crawl.
+        if host_budget is not None:
+            cap_block = f"""cap{g} AS (
+  SELECT url, depth, parent_seq, link_pos FROM (
+    SELECT n.*, ROW_NUMBER() OVER (
+      PARTITION BY {host('n.url')}
+      ORDER BY n.parent_seq, n.link_pos) AS hr
+    FROM new{g} n) WHERE hr <= {host_budget}),
+"""
+            adm_src = f"cap{g}"
+        else:
+            cap_block = ""
+            adm_src = f"new{g}"
         parts.append(f"""cand{g} AS (
   SELECT lp.dst AS url, e.depth + 1 AS depth, e.seq AS parent_seq,
          lp.pos AS link_pos
@@ -414,14 +470,14 @@ new{g} AS (
                               ORDER BY c.parent_seq, c.link_pos) AS rn
     FROM cand{g} c ANTI JOIN seen{g - 1} s ON s.url = c.url)
   WHERE rn = 1),
-hs{g} AS (SELECT host, COUNT(*) AS c FROM seen{g - 1} GROUP BY 1),
+{cap_block}hs{g} AS (SELECT host, COUNT(*) AS c FROM seen{g - 1} GROUP BY 1),
 adm{g} AS MATERIALIZED (
   SELECT n.url, {host('n.url')} AS host, n.depth,
          (SELECT COUNT(*) FROM seen{g - 1})
          + ROW_NUMBER() OVER (ORDER BY
              {w_d} * n.depth + COALESCE(h.c, 0) * {w_h},
              n.parent_seq, n.link_pos) - 1 AS seq
-  FROM new{g} n LEFT JOIN hs{g} h ON h.host = {host('n.url')}),
+  FROM {adm_src} n LEFT JOIN hs{g} h ON h.host = {host('n.url')}),
 seen{g} AS MATERIALIZED (SELECT url, host FROM seen{g - 1}
             UNION ALL SELECT url, host FROM adm{g}),
 fet{g} AS (SELECT url, host, depth, seq FROM adm{g}
@@ -439,18 +495,22 @@ fet{g} AS (SELECT url, host, depth, seq FROM adm{g}
 
 ORACLES["bfs_order_priority_politeness"] = _bfs_priority_politeness_sql()
 
-# per-generation admitted counts: with no budget/politeness the engine's
-# generation == BFS depth, so the metric rows are the per-depth counts
-ORACLES["frontier_status_counts"] = (
-    _BFS_REACH
-    + "SELECT CAST(depth AS INT) AS generation, COUNT(*) AS n_admitted "
-    "FROM closure GROUP BY 1"
+# the TRIPLE combination (VERDICT r4 item 6): priority frontier × crawl-
+# delay politeness × per-host admission budget, all through the real loop,
+# value-exact — the budget stage drops capped-out candidates before the
+# priority rank, and dropped urls may legitimately re-candidate in later
+# generations via other parents (never marked seen).
+ORACLES["bfs_priority_politeness_budget"] = _bfs_priority_politeness_sql(
+    host_budget=PP_BUDGET
 )
 
+# per-generation admitted counts: with no budget/politeness the engine's
+# generation == BFS depth, so the metric rows are the per-depth counts
 # A2 queue gauges: queued(g) = candidate links produced by the depth-(g-1)
 # wave (seeds at g=0); completed(g) = cumulative admitted-and-fetched pages
 # through depth g (every admitted row is fetched in its own generation in
-# the no-politeness driver crawl)
+# the no-politeness driver crawl); n_admitted(g) = per-depth admitted
+# counts (absorbs the former frontier_status_counts row, round 5)
 ORACLES["queue_stats"] = (
     _BFS_REACH
     + f""",
@@ -468,9 +528,11 @@ queued AS (
   GROUP BY c.depth + 1),
 done AS (
   SELECT CAST(depth AS INT) AS generation,
+         CAST(COUNT(*) AS BIGINT) AS n_admitted,
          CAST(SUM(COUNT(*)) OVER (ORDER BY depth) AS BIGINT) AS completed
   FROM closure GROUP BY depth)
-SELECT q.generation, CAST(q.queued AS BIGINT) AS queued, d.completed
+SELECT q.generation, CAST(q.queued AS BIGINT) AS queued, d.completed,
+       d.n_admitted
 FROM queued q JOIN done d ON d.generation = q.generation
 """
 )
