@@ -50,15 +50,45 @@ class CheckpointManager:
         os.rename(tmp, os.path.join(gdir, "_COMMIT.json"))
 
     def last_committed(self) -> int | None:
+        gens = self.committed_generations()
+        return max(gens) if gens else None
+
+    def committed_generations(self) -> list[int]:
         gens = []
         if not os.path.isdir(self.root):
-            return None
+            return gens
         for d in os.listdir(self.root):
             if d.startswith("gen=") and os.path.exists(
                 os.path.join(self.root, d, "_COMMIT.json")
             ):
                 gens.append(int(d.split("=")[1]))
-        return max(gens) if gens else None
+        return sorted(gens)
+
+    def read_all(self, spark: SparkSession, name: str) -> DataFrame | None:
+        """All committed generations of ``name`` as ONE partitioned parquet
+        scan (multi-root read → a single FileScan over every generation's
+        files). This is the design-point final-assembly path: at thousands
+        of generations a per-generation union would build an N-ary lineage
+        and pin N checkpoint RDD chains; the committed tables already hold
+        the same rows partitioned by generation."""
+        paths = [
+            os.path.join(self._gen_dir(g), name)
+            for g in self.committed_generations()
+            if self.has_table(g, name)
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def reset(self) -> None:
+        """Drop every generation snapshot (fresh, non-resume crawls): a
+        stale committed chain from a prior crawl in the same directory
+        would otherwise pollute ``read_all`` and hijack a later resume."""
+        if not os.path.isdir(self.root):
+            return
+        for d in os.listdir(self.root):
+            if d.startswith("gen="):
+                shutil.rmtree(os.path.join(self.root, d))
 
     def state(self, gen: int) -> dict:
         with open(os.path.join(self._gen_dir(gen), "_COMMIT.json")) as f:

@@ -512,3 +512,81 @@ def test_huge_seed_list_tiny_budget_exact(spark, pages):
         for r in res.admitted.orderBy("enqueue_seq").collect()
     ]
     assert got == seeds[:7]
+
+
+def test_checkpointed_final_union_is_one_scan(spark, pages, tmp_path):
+    """Design-point final assembly (VERDICT r4 watch #1): with a checkpoint
+    dir, the final admitted/extracted frames come from ONE partitioned read
+    of the committed per-generation tables — not an N-ary in-memory union
+    holding N localCheckpoint chains. A 70-leaf single-host star with
+    Crawl-delay 2 / window 2 / 1 salt drains ONE fetch per generation, so
+    the crawl runs 70+ generations; output must be identical to the
+    checkpoint-less path."""
+    from eget_crawler_for_overflow_spark.plans.explain import plan_text
+
+    n_leaves = 70
+    seed_url = "https://host0.example/p/0"
+    leaf = "<html><body>leaf</body></html>".encode()
+    hub = (
+        "<html><body>"
+        + "".join(
+            f'<a href="https://host0.example/p/{i}">x</a>'
+            for i in range(1, n_leaves + 1)
+        )
+        + "</body></html>"
+    ).encode()
+    star = spark.createDataFrame(
+        [(seed_url, bytearray(hub))]
+        + [
+            (f"https://host0.example/p/{i}", bytearray(leaf))
+            for i in range(1, n_leaves + 1)
+        ],
+        "url string, html binary",
+    )
+    robots_df = spark.createDataFrame(
+        [("host0.example", "User-agent: *\nCrawl-delay: 2")],
+        "host string, rules_text string",
+    )
+    cfg = CrawlConfig(
+        max_depth=1,
+        max_pages=None,
+        respect_robots=True,
+        crawl_delay_window=2.0,
+        n_salts=1,
+        max_generations=256,
+    )
+    mem = run_crawl(spark, star, [seed_url], cfg, robots=robots_df)
+    ck = str(tmp_path / "ckpt_scan")
+    cpt = run_crawl(
+        spark, star, [seed_url], cfg, robots=robots_df, checkpoint_dir=ck
+    )
+    assert cpt.generations >= 64, cpt.generations
+
+    for df in (cpt.admitted, cpt.extracted):
+        txt = plan_text(df, mode="simple")
+        assert txt.count("Scan parquet") == 1, txt
+        assert "Union" not in txt, txt
+
+    want = sorted(
+        (r["url"], r["depth"], r["enqueue_seq"])
+        for r in mem.admitted.collect()
+    )
+    got = sorted(
+        (r["url"], r["depth"], r["enqueue_seq"])
+        for r in cpt.admitted.collect()
+    )
+    assert got == want
+    assert sorted(
+        (r["url"], r["status"]) for r in cpt.extracted.collect()
+    ) == sorted((r["url"], r["status"]) for r in mem.extracted.collect())
+
+    # a FRESH (non-resume) crawl in the same dir wipes the stale chain:
+    # no generations from the 64-gen run may leak into this 2-gen one
+    cfg2 = CrawlConfig(max_depth=1, max_pages=None)
+    fresh = run_crawl(
+        spark, pages, seeds_host0(1), cfg2, checkpoint_dir=ck
+    )
+    mem2 = run_crawl(spark, pages, seeds_host0(1), cfg2)
+    assert sorted(
+        (r["url"], r["depth"]) for r in fresh.admitted.collect()
+    ) == sorted((r["url"], r["depth"]) for r in mem2.admitted.collect())
