@@ -251,8 +251,49 @@ def main() -> None:
         res = run_crawl(spark, pages, seeds, prio_cfg)
         return res.extracted.filter(F.col("status") == "extracted").count()
 
-    bench_query("crawl_bfs_priority", crawl_prio_job, reps=2)
+    # best-of-3 like FIFO (VERDICT r4 item 4): the r4 artifact gave this
+    # row only 2 reps, leaving the FIFO-vs-priority gap load-ambiguous
+    bench_query(
+        "crawl_bfs_priority",
+        crawl_prio_job,
+        reps=max(1, int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "3"))),
+    )
     pages.unpersist()
+
+    # q2c: the OVER-THRESHOLD fetch regime (VERDICT r4 item 2) — pages as
+    # a url-bucketed table (the Iceberg bucket(url) layout a 100 TB crawl
+    # store would use), broadcast_fetch_threshold=0 so every wave takes
+    # the storage-partitioned left-join branch: pages is read from its
+    # buckets and never shuffled (engine-path plan test in test_plans).
+    # Table build cost is recorded separately, not in the query time.
+    tbl = "pages_bucketed_bench"
+    def build_bucketed():
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            pages.select("url", "html")
+            .repartition(CPUS, F.col("url"))
+            .write.bucketBy(CPUS, "url")
+            .sortBy("url")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+
+    t_bucket_build, _ = timed(build_bucketed)
+    bpages = spark.table(tbl)
+    bucket_cfg = CrawlConfig(
+        max_depth=6,
+        max_pages=200_000,
+        same_domain=False,
+        use_bloom=True,
+        broadcast_fetch_threshold=0,
+    )
+
+    def crawl_bucketed_job():
+        res = run_crawl(spark, bpages, seeds, bucket_cfg)
+        return res.extracted.filter(F.col("status") == "extracted").count()
+
+    bench_query("crawl_bfs_bucketed", crawl_bucketed_job, reps=2)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
     # q1: raw extraction throughput (warmup + best-of-N)
     warmup(spark, pages)
@@ -311,6 +352,7 @@ def main() -> None:
         "query_load_1m": query_load,
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "extract_only_pages_per_sec": round(n_pages / t_extract, 1),
+        "bucketed_table_build_sec": round(t_bucket_build, 3),
         "gen_sec": round(t_gen, 3),
         "scaling": scaling,
     }

@@ -46,6 +46,10 @@ from .ordering import assign_seq_counted, top_k
 from .politeness import salted_fetch_schedule, salted_host_budget_cap
 from .seen import SeenSet
 
+# test/debug sink for EGET_CAPTURE_FETCH_PLAN=1 (one entry per generation
+# that ran a fetch join); cleared by the caller, never in the hot path
+FETCH_PLAN_CAPTURE: list[str] = []
+
 CAND_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -514,6 +518,14 @@ def _run_crawl(
             fetched = eligible.join(
                 pages.select("url", "html"), on="url", how="left"
             )
+        if os.environ.get("EGET_CAPTURE_FETCH_PLAN") == "1":
+            # debug/test hook: record the physical plan the ENGINE emits
+            # for this generation's fetch join (plan tests assert the
+            # bucketed no-exchange shape on the real code path, not a
+            # hand-rebuilt join)
+            from ..plans.explain import plan_text
+
+            FETCH_PLAN_CAPTURE.append(plan_text(fetched))
 
         expand = F.col("depth") < F.lit(cfg.max_depth)
         ext = (
