@@ -194,3 +194,38 @@ def test_lang_id_zh_ja_unsegmented(spark):
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     want = dict(con.execute(ORACLES["lang_id"]).fetchall())
     assert got == want
+
+
+def test_lang_id_short_text_and_mixed_script(spark):
+    """VERDICT r4 item 8: short real-world zh/ja texts (titles, tweets)
+    must score >0 via the single-char function markers, and kanji shared
+    between the scripts must not flip Japanese text to zh (kana markers
+    dominate). Engine stays value-exact vs the generated oracle."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from eget_crawler_for_overflow_spark.functions.text import lang_id
+    from eget_crawler_for_overflow_spark.oracles import ORACLES
+
+    rows = [
+        (0, "日本語のページ"),                      # ja title: particle の only
+        (1, "今天的天气"),                          # zh title: particle 的 only
+        (2, "自己の目的を持つことが大事です"),      # ja with zh-marker kanji 自己/的
+        (3, "他们在公园里"),                        # zh tweet-length
+        (4, "猫"),                                  # single CJK char, no marker
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in df.select(
+            "doc_id", lang_id(F.col("text")).alias("lang_pred")
+        ).collect()
+    }
+    assert got[0] == "ja" and got[1] == "zh"
+    assert got[2] == "ja"  # mixed-script tie-break: kana beat stray kanji
+    assert got[3] == "zh" and got[4] == "und"
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = dict(con.execute(ORACLES["lang_id"]).fetchall())
+    assert got == want
