@@ -616,11 +616,19 @@ def _decode_pdf(payload: bytes) -> str:
     # (?<!end): "endstream\n" must not match as a phantom stream start —
     # it would re-scan the NEXT object's body as text (duplicated lines,
     # or cp1252 garbage from raw deflate bytes that happen to contain BT)
+    consumed_to = 0
     for m in re.finditer(rb"(?<!end)stream\r?\n", payload):
+        if m.start() < consumed_to:
+            # phantom match INSIDE a stream body already processed (binary
+            # image/deflate bytes can contain 'stream\n'); without this
+            # guard the enclosing dict would be re-sniffed — double-counted
+            # images, or garbage text scans
+            continue
         start = m.end()
         end = payload.find(b"endstream", start)
         if end == -1:
             continue
+        consumed_to = end
         data = payload[start:end].rstrip(b"\r\n")
         # The object dict sits between the enclosing 'N 0 obj' token and
         # 'stream'. A fixed lookback window can push /FlateDecode (or the

@@ -463,3 +463,25 @@ def test_pdf_cid_without_tounicode_still_raises():
     pdf = make_cid_pdf("abc").replace(b"/ToUnicode 6 0 R ", b"")
     with pytest.raises(ValueError, match="ToUnicode"):
         _decode_pdf(pdf)
+
+
+def test_pdf_image_body_containing_stream_token_not_double_counted():
+    """Binary image bytes containing 'stream\\n' must not re-trigger the
+    enclosing object's dict sniff (phantom match inside a consumed body
+    → the image would be counted twice)."""
+    body = zlib.compress(b"BT /F1 12 Tf (one figure) Tj ET")
+    jpg = b"\xff\xd8" + b"\x00" * 8 + b"stream\n" + b"\x00" * 8
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+        b"4 0 obj << /Filter /FlateDecode /Length "
+        + str(len(body)).encode() + b" >>\nstream\n" + body
+        + b"\nendstream endobj\n",
+        b"5 0 obj << /Subtype /Image /Width 4 /Height 4 /Filter /DCTDecode "
+        b"/Length " + str(len(jpg)).encode() + b" >>\nstream\n" + jpg
+        + b"\nendstream endobj\n",
+    ]
+    md = _decode_pdf(b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF\n")
+    assert md.count("![Image]") == 1, md
+    assert "![Image](media/image1.jpeg)" in md
