@@ -14,10 +14,13 @@ converter ships a FROM-SCRATCH stdlib decoder instead of a stub:
 * XLSX — ``zipfile`` + ``xml.etree`` over workbook/sheet/sharedStrings
   XML: one ``##``-titled markdown table per non-empty sheet
   (xlsx_converter.py:94-152 semantics).
-* PDF — best-effort text layer: FlateDecode (stdlib ``zlib``) / raw
-  content streams, ``Tj``/``TJ``/``'`` text operators with PDF string
-  escapes and hex strings (pdf_converter.py:23-81 capability). PDFs whose
-  fonts use subset/CID encodings need a real PDF library and raise.
+* PDF — text layer with the full non-image filter chain (FlateDecode,
+  LZWDecode, ASCII85Decode, ASCIIHexDecode, RunLengthDecode — chained),
+  ``Tj``/``TJ``/``'`` text operators with PDF string escapes and hex
+  strings (pdf_converter.py:23-81 capability), regex table detection,
+  image-XObject markdown refs, CID/Identity-H subset fonts via embedded
+  ToUnicode CMaps (incl. font dicts packed in /ObjStm object streams).
+  CID fonts WITHOUT a ToUnicode map still raise honestly.
 
 These are own-dialect decoders: byte-parity goldens vs the reference's
 PyMuPDF/python-docx/openpyxl output become mandatory the moment those
@@ -413,23 +416,64 @@ def _pdf_parse_cmap(data: bytes) -> dict[int, str]:
     return cmap
 
 
+def _pdf_objstm_objects(payload: bytes) -> dict[int, bytes]:
+    """Objects packed in /ObjStm compressed object streams (PDF 1.5+ —
+    the layout every modern generator emits for font/page dicts). Header
+    part: N (objnum, offset) integer pairs; bodies start at /First.
+    Streams can't nest in ObjStm, so these are always bare dicts."""
+    out: dict[int, bytes] = {}
+    consumed_to = 0
+    for m in re.finditer(rb"(?<!end)stream\r?\n", payload):
+        if m.start() < consumed_to:
+            continue
+        end = payload.find(b"endstream", m.end())
+        if end == -1:
+            continue
+        consumed_to = end
+        obj_at = payload.rfind(b" obj", max(0, m.start() - 4096), m.start())
+        head_from = obj_at + 4 if obj_at != -1 else max(0, m.start() - 400)
+        head = payload[head_from : m.start()]
+        if not re.search(rb"/Type\s*/ObjStm", head):
+            continue
+        data = _pdf_apply_filters(payload[m.end() : end].rstrip(b"\r\n"), head)
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
+        if data is None or not nm or not fm:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        try:
+            ints = [int(x) for x in data[:first].split()]
+        except ValueError:
+            continue
+        pairs = list(zip(ints[0::2], ints[1::2]))[:n]
+        for k, (objnum, off) in enumerate(pairs):
+            nxt = pairs[k + 1][1] if k + 1 < len(pairs) else len(data) - first
+            out[objnum] = data[first + off : first + nxt]
+    return out
+
+
 def _pdf_font_cmaps(payload: bytes) -> dict[str, dict[int, str]]:
     """Resolve page-resource font names (/F1 7 0 R) to their fonts'
     ToUnicode CMaps. This is what lets subset/CID (Identity-H) PDFs —
     the most common real-world encoding — decode to text instead of
     raising: the embedded CMap says what each 2-byte glyph code means.
-    Names are aggregated document-wide (last binding wins); per-page
-    resource scoping would need a full object-graph walk."""
-    import zlib
-
+    Font/resource dicts hidden in /ObjStm object streams (PDF 1.5+) are
+    scanned too; ToUnicode streams themselves are always top-level (the
+    spec forbids streams inside ObjStm). Names are aggregated
+    document-wide (last binding wins); per-page resource scoping would
+    need a full object-graph walk."""
     objs: dict[int, bytes] = {}
     for om in re.finditer(rb"(\d+)\s+0\s+obj", payload):
         e = payload.find(b"endobj", om.end())
         objs[int(om.group(1))] = payload[om.end() : e if e != -1 else len(payload)]
+    objstm = _pdf_objstm_objects(payload)
+    for objnum, body in objstm.items():
+        objs.setdefault(objnum, body)
     name_to_font: dict[str, int] = {}
-    for rm in re.finditer(rb"/Font\s*<<(.*?)>>", payload, re.S):
-        for nm, num in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", rm.group(1)):
-            name_to_font[nm.decode("ascii")] = int(num)
+    for buf in (payload, *objstm.values()):
+        for rm in re.finditer(rb"/Font\s*<<(.*?)>>", buf, re.S):
+            for nm, num in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", rm.group(1)):
+                name_to_font[nm.decode("ascii")] = int(num)
     cmaps: dict[str, dict[int, str]] = {}
     for name, fnum in name_to_font.items():
         fbody = objs.get(fnum, b"")
@@ -443,12 +487,11 @@ def _pdf_font_cmaps(payload: bytes) -> dict[str, dict[int, str]]:
         send = sbody.find(b"endstream")
         if not sm or send == -1:
             continue
-        data = sbody[sm.end() : send].rstrip(b"\r\n")
-        if b"/FlateDecode" in sbody[: sm.start()]:
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                continue
+        data = _pdf_apply_filters(
+            sbody[sm.end() : send].rstrip(b"\r\n"), sbody[: sm.start()]
+        )
+        if data is None:
+            continue
         cm = _pdf_parse_cmap(data)
         if cm:
             cmaps[name] = cm
@@ -556,6 +599,110 @@ _PDF_IMG_FORMAT = {
 }
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (TIFF variant: clear=256, EOD=257, code width 9→12,
+    EarlyChange=1 — the spec default, so the width bumps one code early)."""
+    table = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    out = bytearray()
+    prev: bytes | None = None
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code >= (1 << width) - 1 and width < 12:
+                    width += 1
+            prev = entry
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode: L<128 → copy L+1 literal bytes; L>128 →
+    repeat the next byte 257-L times; 128 = EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i + 1 : i + 2 + length]
+            i += 2 + length
+        else:
+            out += data[i + 1 : i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _a85_decode(data: bytes) -> bytes:
+    import base64
+
+    data = data.strip()
+    if data.startswith(b"<~"):
+        data = data[2:]
+    if data.endswith(b"~>"):
+        data = data[:-2]
+    return base64.a85decode(data, adobe=False)
+
+
+def _ahx_decode(data: bytes) -> bytes:
+    hexs = re.sub(rb"\s", b"", data.split(b">")[0])
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii"))
+
+
+def _pdf_apply_filters(data: bytes, head: bytes) -> bytes | None:
+    """Apply the stream's (possibly chained) /Filter list. Returns None
+    for image/unsupported encodings (DCT/JPX/CCITTFax/JBIG2) or a failed
+    decode — the caller skips the stream, never the document."""
+    import zlib
+
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", head)
+    if not fm:
+        return data
+    decoders = {
+        b"FlateDecode": zlib.decompress,
+        b"Fl": zlib.decompress,
+        b"LZWDecode": _lzw_decode,
+        b"LZW": _lzw_decode,
+        b"ASCII85Decode": _a85_decode,
+        b"A85": _a85_decode,
+        b"ASCIIHexDecode": _ahx_decode,
+        b"AHx": _ahx_decode,
+        b"RunLengthDecode": _rle_decode,
+        b"RL": _rle_decode,
+    }
+    for name in re.findall(rb"/(\w+)", fm.group(1)):
+        fn = decoders.get(name)
+        if fn is None:
+            return None  # DCT/JPX/CCITTFax/JBIG2/Crypt: not a text stream
+        try:
+            data = fn(data)
+        except Exception:  # noqa: BLE001 — corrupt stream: skip, don't fail
+            return None
+    return data
+
+
 def _pdf_parse_table_text(table_text: str) -> list[list[str]]:
     """pdf_converter.py:255-279 cell splitting: drop +---+ separator
     rows, split on | (trimming the border cells) else on 2+ spaces."""
@@ -606,7 +753,6 @@ def _pdf_detect_tables(texts: list[str]) -> dict[int, tuple[int, str]]:
 
 def _decode_pdf(payload: bytes) -> str:
     import statistics
-    import zlib
 
     if not payload.startswith(b"%PDF"):
         raise ValueError("not a PDF (missing %PDF header)")
@@ -646,16 +792,12 @@ def _decode_pdf(payload: bytes) -> str:
             fmt = _PDF_IMG_FORMAT.get(fm.group(1) if fm else b"", "png")
             images.append(f"![Image](media/image{len(images) + 1}.{fmt})")
             continue
-        if b"/FlateDecode" in head:
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                continue  # image/font stream or unsupported predictor
-        elif re.search(rb"/(DCT|JPX|CCITTFax|RunLength|LZW|ASCII85)", head):
-            continue  # non-text encodings: skip
-        if b"BT" not in data:
+        if re.search(rb"/Type\s*/ObjStm", head):
+            continue  # object stream: scanned by _pdf_font_cmaps, no text
+        decoded = _pdf_apply_filters(data, head)
+        if decoded is None or b"BT" not in decoded:
             continue
-        lines.extend(_pdf_stream_text(data, cmaps))
+        lines.extend(_pdf_stream_text(decoded, cmaps))
     if not lines and not images:
         raise ValueError(
             "no extractable text layer (scanned image, CID/subset fonts "

@@ -485,3 +485,133 @@ def test_pdf_image_body_containing_stream_token_not_double_counted():
     md = _decode_pdf(b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF\n")
     assert md.count("![Image]") == 1, md
     assert "![Image](media/image1.jpeg)" in md
+
+
+# ---------------------------------------------------------------------------
+# round-5: non-Flate filter chains + /ObjStm object streams
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Inverted-construction LZW encoder (TIFF/PDF variant, EarlyChange=1):
+    written from the spec, not from the decoder."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out_bits = []
+
+    def emit(code, w):
+        out_bits.append((code, w))
+
+    emit(256, width)  # leading clear code (spec-recommended)
+    w_cur = bytes()
+    for b in data:
+        k = w_cur + bytes([b])
+        if k in table:
+            w_cur = k
+        else:
+            emit(table[w_cur], width)
+            table[k] = next_code
+            next_code += 1
+            # encoder bumps at the natural 2^w boundary; the DECODER bumps
+            # one code early ((1<<w)-1, pdfminer semantics) because its
+            # table add lags the encoder's by one code — that pairing IS
+            # EarlyChange=1 (calibrated across the 511/1023/2047 bounds)
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+            w_cur = bytes([b])
+    if w_cur:
+        emit(table[w_cur], width)
+    emit(257, width)  # EOD
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for code, w in out_bits:
+        buf = (buf << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _make_filtered_pdf(content: bytes, filt: bytes, body: bytes) -> bytes:
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+        b"4 0 obj << /Filter " + filt + b" /Length "
+        + str(len(body)).encode() + b" >>\nstream\n" + body
+        + b"\nendstream endobj\n",
+    ]
+    return b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF\n"
+
+
+def test_pdf_filter_chain_decoders():
+    import base64
+
+    content = b"BT /F1 12 Tf (filter chain text) Tj ET"
+    cases = [
+        (b"/LZWDecode", _lzw_encode(content)),
+        (b"/ASCII85Decode", base64.a85encode(content) + b"~>"),
+        (b"/ASCIIHexDecode", content.hex().encode() + b">"),
+        # RunLength: all-literal encoding (runs of length 1..128)
+        (b"/RunLengthDecode",
+         b"".join(bytes([len(content[i:i+128]) - 1]) + content[i:i+128]
+                  for i in range(0, len(content), 128)) + b"\x80"),
+        # chained: Flate then ASCII85 (decode order: A85 first, then Flate)
+        (b"[ /ASCII85Decode /FlateDecode ]",
+         base64.a85encode(zlib.compress(content)) + b"~>"),
+    ]
+    for filt, body in cases:
+        md = _decode_pdf(_make_filtered_pdf(content, filt, body))
+        assert md == "filter chain text", (filt, md)
+
+
+def test_pdf_lzw_long_text_width_growth():
+    # enough distinct phrases to push the LZW table past 511 codes (10-bit)
+    content = (
+        b"BT /F1 12 Tf ("
+        + b" ".join(b"tok%d" % (i % 97) for i in range(400))
+        + b") Tj ET"
+    )
+    md = _decode_pdf(_make_filtered_pdf(content, b"/LZWDecode",
+                                        _lzw_encode(content)))
+    assert md.startswith("tok0 tok1") and md.endswith("tok11")
+
+
+def test_pdf_cid_font_dict_inside_objstm():
+    """PDF 1.5+ layout: the font dict and page /Resources live inside a
+    compressed /ObjStm object stream; only the content + ToUnicode CMap
+    are top-level streams. The CMap discovery must find them there."""
+    text = "objstm packed font"
+    base = make_cid_pdf(text)
+    # extract the working pieces from the 1.4-style fixture, then repack
+    # the page + font dicts into an ObjStm
+    packed_objs = [
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        (5, b"<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+Fake "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>"),
+    ]
+    header = " ".join(f"{n} {off}" for n, off in
+                      zip([o[0] for o in packed_objs],
+                          [0, len(packed_objs[0][1]) + 1])).encode()
+    first = len(header) + 1
+    objstm_data = header + b"\n" + packed_objs[0][1] + b"\n" + packed_objs[1][1]
+    objstm_body = zlib.compress(objstm_data)
+    # rebuild the pdf: drop top-level 3/5 obj dicts, add the ObjStm
+    import re as _re
+    s = base
+    s = _re.sub(rb"3 0 obj <<.*?>> endobj\n", b"", s)
+    s = _re.sub(rb"5 0 obj <<.*?>> endobj\n", b"", s)
+    objstm = (
+        b"7 0 obj << /Type /ObjStm /N 2 /First " + str(first).encode()
+        + b" /Filter /FlateDecode /Length " + str(len(objstm_body)).encode()
+        + b" >>\nstream\n" + objstm_body + b"\nendstream endobj\n"
+    )
+    s = s.replace(b"%%EOF", objstm + b"%%EOF")
+    assert b"3 0 obj" not in s.split(b"7 0 obj")[0]
+    md = _decode_pdf(s)
+    assert md == text
