@@ -232,7 +232,54 @@ def _xlsx_col_index(ref: str) -> int:
     return max(0, n - 1)
 
 
-def _xlsx_cell_value(c, shared: list[str]) -> str:
+# builtin numFmtIds that are date/time formats (ECMA-376 §18.8.30)
+_XLSX_DATE_BUILTINS = (
+    set(range(14, 23)) | set(range(27, 37)) | set(range(45, 48))
+    | set(range(50, 59))
+)
+
+
+def _xlsx_date_styles(root) -> list[bool]:
+    """Per-cellXfs-index flag: does this style render as a date/time?
+    Covers the builtin date ids and custom formatCodes with day/month/
+    year/hour/second tokens (outside quoted literals and [] sections) —
+    the same classification openpyxl's is_date_format does."""
+    custom: dict[int, bool] = {}
+    for nf in root.iter(f"{_S}numFmt"):
+        code = re.sub(r'\[[^\]]*\]|"[^"]*"', "", nf.get("formatCode", ""))
+        custom[int(nf.get("numFmtId", "0"))] = bool(
+            re.search(r"[dmhysDMHYS]", code)
+        )
+    xfs = root.find(f"{_S}cellXfs")
+    if xfs is None:
+        return []
+    out = []
+    for xf in xfs.findall(f"{_S}xf"):
+        try:
+            nid = int(xf.get("numFmtId", "0"))
+        except ValueError:
+            nid = 0
+        out.append(nid in _XLSX_DATE_BUILTINS or custom.get(nid, False))
+    return out
+
+
+def _xlsx_serial_to_str(raw: str) -> str:
+    """Excel date serial → what openpyxl hands the reference: a datetime
+    (rendered .isoformat(), xlsx_converter.py:158-159) for serials ≥ 1, a
+    time (str() → HH:MM:SS) for day fractions. Base 1899-12-30 absorbs
+    the Lotus-1900 leap bug the way openpyxl does; sub-second jitter in
+    float serials is rounded to the nearest second."""
+    from datetime import datetime, timedelta
+
+    v = float(raw)
+    secs = round(v * 86400)
+    dt = datetime(1899, 12, 30) + timedelta(seconds=secs)
+    if 0 <= v < 1:
+        return dt.time().isoformat()
+    return dt.isoformat()
+
+
+def _xlsx_cell_value(c, shared: list[str], date_styles: list[bool]) -> str:
     t = c.get("t", "n")
     if t == "inlineStr":
         return "".join(tt.text or "" for tt in c.iter(f"{_S}t"))
@@ -245,11 +292,20 @@ def _xlsx_cell_value(c, shared: list[str]) -> str:
             return ""
     if t == "b":
         return "TRUE" if raw == "1" else "FALSE"
-    # numbers: render integers without the trailing .0 (the reference's
-    # _format_cell_value does the same normalization). t="str" cells are
-    # cached TEXT results of formulas — openpyxl returns those verbatim,
-    # so "007" must not collapse to "7".
     if raw and t == "n":
+        try:
+            s_idx = int(c.get("s", "-1"))
+        except ValueError:
+            s_idx = -1
+        if 0 <= s_idx < len(date_styles) and date_styles[s_idx]:
+            try:
+                return _xlsx_serial_to_str(raw)
+            except (ValueError, OverflowError):
+                pass  # out-of-range serial: fall through to numeric
+        # numbers: render integers without the trailing .0 (the
+        # reference's _format_cell_value does the same normalization).
+        # t="str" cells are cached TEXT results of formulas — openpyxl
+        # returns those verbatim, so "007" must not collapse to "7".
         try:
             f = float(raw)
             if f.is_integer() and "e" not in raw.lower():
@@ -266,6 +322,11 @@ def _decode_xlsx(payload: bytes) -> str:
 
     with zipfile.ZipFile(io.BytesIO(payload)) as z:
         names = set(z.namelist())
+        date_styles: list[bool] = []
+        if "xl/styles.xml" in names:
+            date_styles = _xlsx_date_styles(
+                ET.fromstring(z.read("xl/styles.xml"))
+            )
         shared: list[str] = []
         if "xl/sharedStrings.xml" in names:
             shared = [
@@ -296,7 +357,7 @@ def _decode_xlsx(payload: bytes) -> str:
                     idx = _xlsx_col_index(c.get("r", ""))
                     while len(cells) < idx:
                         cells.append("")
-                    cells.append(_xlsx_cell_value(c, shared))
+                    cells.append(_xlsx_cell_value(c, shared, date_styles))
                 grid.append(cells)
             while grid and not any(x.strip() for x in grid[-1]):
                 grid.pop()

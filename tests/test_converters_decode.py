@@ -615,3 +615,40 @@ def test_pdf_cid_font_dict_inside_objstm():
     assert b"3 0 obj" not in s.split(b"7 0 obj")[0]
     md = _decode_pdf(s)
     assert md == text
+
+
+def test_xlsx_date_styled_cells_isoformat():
+    """Date-styled numeric cells render as openpyxl would hand them to
+    the reference: datetime.isoformat() (xlsx_converter.py:158-159), time
+    for day fractions; non-date styles keep the numeric normalization."""
+    styles = f"""<?xml version="1.0"?><styleSheet {S_NS}>
+<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd"/></numFmts>
+<cellXfs count="4">
+  <xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/>
+  <xf numFmtId="21"/>
+</cellXfs></styleSheet>"""
+    # 45292 = 2024-01-01; 45292.5 = noon; 0.25 = 06:00:00
+    sheet = f"""<?xml version="1.0"?><worksheet {S_NS}><sheetData>
+<row r="1"><c r="A1" t="n" s="1"><v>45292</v></c>
+           <c r="B1" t="n" s="2"><v>45292.5</v></c>
+           <c r="C1" t="n" s="3"><v>0.25</v></c>
+           <c r="D1" t="n" s="0"><v>45292</v></c></row>
+</sheetData></worksheet>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {S_NS} {R_NS}><sheets>'
+            '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+            'openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://x" '
+            'Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    md = _decode_xlsx(buf.getvalue())
+    assert "| 2024-01-01T00:00:00 | 2024-01-01T12:00:00 | 06:00:00 | 45292 |" in md
