@@ -3,8 +3,9 @@
 The reference exposes a pluggable converter registry
 (/root/reference/services/converters/converter_factory.py:11-42) dispatching
 on file type, with per-format converters (pdf_converter.py, docx_converter
-.py, xlsx_converter.py). The decode libraries the reference uses (PyMuPDF,
-python-docx, openpyxl) are not in this container, so since round 4 each
+.py, xlsx_converter.py). The decode libraries the reference pins
+(pypdf==5.1.0/PyPDF2==3.0.1, python-docx==1.1.2, openpyxl==3.1.5 —
+requirements.txt) are not in this container, so since round 4 each
 converter ships a FROM-SCRATCH stdlib decoder instead of a stub:
 
 * DOCX — ``zipfile`` + ``xml.etree`` over ``word/document.xml``: Heading-N
@@ -23,8 +24,9 @@ converter ships a FROM-SCRATCH stdlib decoder instead of a stub:
   CID fonts WITHOUT a ToUnicode map still raise honestly.
 
 These are own-dialect decoders: byte-parity goldens vs the reference's
-PyMuPDF/python-docx/openpyxl output become mandatory the moment those
-libs appear in the container. The registry, dispatch, size/type gates
+pypdf/python-docx/openpyxl output become mandatory the moment those
+libs appear in the container (python-docx 1.1.2 includes hyperlink run
+text in paragraph.text — matched here by iterating all w:t descendants). The registry, dispatch, size/type gates
 (conversion_service.py:47-65), Spark plumbing (binaryFile source →
 mapInPandas → markdown column), and the shared text-cleaning step
 (base_converter.py:35-53) are unchanged.
