@@ -590,3 +590,32 @@ def test_checkpointed_final_union_is_one_scan(spark, pages, tmp_path):
     assert sorted(
         (r["url"], r["depth"]) for r in fresh.admitted.collect()
     ) == sorted((r["url"], r["depth"]) for r in mem2.admitted.collect())
+
+
+def test_priority_counts_merge_failure_surfaces(spark, pages, monkeypatch):
+    """The priority host-counts merge runs on a maintenance thread
+    overlapped with fetch/extract (round 5); a failure there must
+    surface at the next hc_barrier(), never vanish with the daemon
+    thread. Induce one deterministically: the counts frame is the only
+    localCheckpoint target carrying the __host_seen column. (Patch the
+    RUNTIME class — pyspark.sql.classic.dataframe.DataFrame — not the
+    pyspark.sql.DataFrame base, whose method Spark 4 overrides.)"""
+    cls = type(pages)
+
+    orig = cls.localCheckpoint
+
+    def failing(self, eager=True):
+        if "__host_seen" in self.columns:
+            raise RuntimeError("induced counts-merge failure")
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", failing)
+    prio = CrawlConfig(
+        max_depth=2,
+        max_pages=None,
+        same_domain=False,
+        priority_depth_weight=0.25,
+        priority_host_weight=1.0,
+    )
+    with pytest.raises(RuntimeError, match="induced counts-merge"):
+        run_crawl(spark, pages, seeds_host0(), prio)
