@@ -247,6 +247,180 @@ def decode_media(payload: bytes) -> dict:
     raise ValueError("unrecognized media container (magic bytes unknown)")
 
 
+# ---------------------------------------------------------------------------
+# real-container fixture synthesis (inverted construction — the driver's
+# `multimodal_features` oracle predicts every field in closed form because
+# WE build the container bytes the real decoders then parse; same trick as
+# convert.synthesize_office_files for the §2.11 converters)
+# ---------------------------------------------------------------------------
+
+
+def _build_png(w: int, h: int, body: bytes) -> bytes:
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # 8 sig + 25 IHDR + (12+len(body)) IDAT + 12 IEND = 57 + len(body)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _build_gif(w: int, h: int, body: bytes) -> bytes:
+    # 6 + 4 + len(body) + 1 = 11 + len(body)
+    return b"GIF89a" + struct.pack("<HH", w, h) + body + b"\x3b"
+
+
+def _build_bmp(w: int, h: int, body: bytes) -> bytes:
+    # 2 + 16 + 8 + len(body) = 26 + len(body)
+    return b"BM" + bytes(16) + struct.pack("<ii", w, h) + body
+
+
+def _build_wav(n_frames: int) -> bytes:
+    # stdlib wave writer: 44-byte PCM header + 2 bytes/frame (mono s16)
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(b"\x00\x00" * n_frames)
+    return buf.getvalue()
+
+
+def _build_mp4(w: int, h: int, n_frames: int, body: bytes) -> bytes:
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0))  # 16
+    # tkhd v0 payload: version(1)+flags(3)+creation/mod/track_ID/reserved/
+    # duration(20)+reserved(8)+layer/alt/volume/reserved(8)+matrix(36)+
+    # width/height as 16.16 fixed (8) = 84 bytes -> box 92
+    tkhd = box(
+        b"tkhd", bytes(76) + struct.pack(">II", w << 16, h << 16)
+    )
+    stts = box(
+        b"stts", bytes(4) + struct.pack(">I", 1) + struct.pack(">II", n_frames, 1)
+    )  # 24
+    trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl", stts))))
+    moov = box(b"moov", trak)  # 156
+    # 16 + 156 + (8 + len(body)) = 180 + len(body)
+    return ftyp + moov + box(b"free", body)
+
+
+#: closed-form byte-size constants the oracle SQL mirrors
+_PNG_OVERHEAD, _GIF_OVERHEAD, _BMP_OVERHEAD = 57, 11, 26
+_WAV_HEADER, _MP4_OVERHEAD = 44, 180
+CORRUPT_PAYLOAD = b"not a media container"  # 21 bytes, unknown magic
+
+
+def synthesize_media_blobs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media containers derived from documents: doc_id
+    cycles image (PNG/GIF/BMP by doc_id%9) / WAV / MP4; dimensions and
+    frame counts are the same closed forms the former stub used
+    (len(text)%640+1, …) so the oracle predicts the real decoders'
+    output; every 31st payload is corrupt (unknown magic) to exercise the
+    per-blob decode-error envelope."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids: list[int] = []
+            blobs: list[bytes] = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                i = int(doc_id)
+                t = str(text)
+                n = len(t)
+                body = t.encode("utf-8")
+                ids.append(i)
+                if i % 31 == 0:
+                    blobs.append(CORRUPT_PAYLOAD)
+                elif i % 3 == 0:
+                    w, h = n % 640 + 1, n % 480 + 1
+                    builder = {0: _build_png, 3: _build_gif, 6: _build_bmp}[i % 9]
+                    blobs.append(builder(w, h, body))
+                elif i % 3 == 1:
+                    blobs.append(_build_wav(n % 16000 + 1))
+                else:
+                    blobs.append(
+                        _build_mp4(n % 1920 + 1, n % 1080 + 1, n % 300 + 1, body)
+                    )
+            yield pd.DataFrame({"blob_id": ids, "payload": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("blob_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def extract_media_features(blobs: DataFrame) -> DataFrame:
+    """REAL-decode feature extraction: magic-byte sniff + header parse via
+    ``decode_media``; per-blob ValueErrors land in the ``error`` column
+    (never fail the task — same envelope contract as convert_files,
+    reference converter.py:70-89)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "blob_id": [],
+                "media_type": [],
+                "n_bytes": [],
+                "width": [],
+                "height": [],
+                "n_frames": [],
+                "error": [],
+            }
+            for bid, p in zip(pdf["blob_id"], pdf["payload"]):
+                payload = bytes(p)
+                out["blob_id"].append(bid)
+                out["n_bytes"].append(len(payload))
+                try:
+                    f = decode_media(payload)
+                    out["media_type"].append(f["media_type"])
+                    out["width"].append(f["width"])
+                    out["height"].append(f["height"])
+                    out["n_frames"].append(f["n_frames"])
+                    out["error"].append(None)
+                except ValueError as e:
+                    out["media_type"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_frames"].append(None)
+                    out["error"].append(f"ValueError: {e}")
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(run, MEDIA_FEATURE_SCHEMA)
+
+
 def extract_features(blobs: DataFrame, decoder=None) -> DataFrame:
     """mapInPandas feature extraction — Arrow batches of binary payloads,
     one output row per blob. ``decoder`` defaults to ``decode_stub`` (the

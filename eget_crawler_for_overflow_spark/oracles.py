@@ -1079,15 +1079,35 @@ ORACLES["doc_fingerprint"] = (
 )
 
 ORACLES["multimodal_features"] = """
+-- REAL decode path (r6): the engine builds real PNG/GIF/BMP/WAV/MP4
+-- containers from (doc_id, text) and parses them back with the stdlib
+-- header decoders; this oracle predicts every field in closed form from
+-- the inverted construction (container overhead constants mirror
+-- multimodal._build_*; every 31st blob is corrupt -> error envelope).
 SELECT doc_id AS blob_id,
-  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-  CAST(length(text) AS INT) AS n_bytes,
-  CAST(CASE doc_id % 3 WHEN 0 THEN length(text) % 640 + 1
-       WHEN 1 THEN 0 ELSE length(text) % 1920 + 1 END AS INT) AS width,
-  CAST(CASE doc_id % 3 WHEN 0 THEN length(text) % 480 + 1
-       WHEN 1 THEN 0 ELSE length(text) % 1080 + 1 END AS INT) AS height,
-  CAST(CASE doc_id % 3 WHEN 0 THEN 1
-       WHEN 1 THEN length(text) % 16000 + 1 ELSE length(text) % 300 + 1 END AS INT) AS n_frames
+  CASE WHEN doc_id % 31 = 0 THEN NULL
+       WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+  CAST(CASE WHEN doc_id % 31 = 0 THEN 21
+       WHEN doc_id % 3 = 0 THEN
+            (CASE doc_id % 9 WHEN 0 THEN 57 WHEN 3 THEN 11 ELSE 26 END) + length(text)
+       WHEN doc_id % 3 = 1 THEN 44 + 2 * (length(text) % 16000 + 1)
+       ELSE 180 + length(text) END AS INT) AS n_bytes,
+  CAST(CASE WHEN doc_id % 31 = 0 THEN NULL
+       WHEN doc_id % 3 = 0 THEN length(text) % 640 + 1
+       WHEN doc_id % 3 = 1 THEN 0
+       ELSE length(text) % 1920 + 1 END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 31 = 0 THEN NULL
+       WHEN doc_id % 3 = 0 THEN length(text) % 480 + 1
+       WHEN doc_id % 3 = 1 THEN 0
+       ELSE length(text) % 1080 + 1 END AS INT) AS height,
+  CAST(CASE WHEN doc_id % 31 = 0 THEN NULL
+       WHEN doc_id % 3 = 0 THEN 1
+       WHEN doc_id % 3 = 1 THEN length(text) % 16000 + 1
+       ELSE length(text) % 300 + 1 END AS INT) AS n_frames,
+  CASE WHEN doc_id % 31 = 0
+       THEN 'ValueError: unrecognized media container (magic bytes unknown)'
+       ELSE NULL END AS error
 FROM documents
 """
 

@@ -834,8 +834,15 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    blobs = multimodal.blobs_from_documents(_docs(spark, sf_dir))
-    return multimodal.extract_features(blobs)
+    """Training-ops driver query, REAL decode path (r6): documents →
+    deterministic real container bytes (PNG/GIF/BMP by doc_id%9, WAV via
+    the stdlib wave writer, MP4 ftyp/moov/trak/tkhd/stts box tree; every
+    31st corrupt) → magic-byte sniff + header decode via `decode_media` →
+    per-blob error envelope. The oracle predicts media_type, byte size
+    (container overhead constants + len(text)), dimensions, and frame
+    counts in closed form because the construction is inverted."""
+    blobs = multimodal.synthesize_media_blobs(_docs(spark, sf_dir))
+    return multimodal.extract_media_features(blobs)
 
 
 def q_events_summary(spark, sf_dir):

@@ -235,3 +235,49 @@ def test_mp4_largesize_box_payload_offset():
     )
     got = decode_media(inner[:ftyp_len] + large)
     assert (got["width"], got["height"], got["n_frames"]) == (640, 360, 24)
+
+
+def test_synthesized_real_blobs_roundtrip_through_real_decoder(spark):
+    """r6 driver binding: synthesize_media_blobs builds REAL containers
+    from (doc_id, text); extract_media_features parses them back with
+    decode_media. Every field must match the closed-form oracle formulas
+    (multimodal._build_* overhead constants), including the corrupt-blob
+    error envelope at doc_id % 31 == 0."""
+    from eget_crawler_for_overflow_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media_blobs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + i * 7)) for i in range(12)] + [(31, "y" * 50), (62, "z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["blob_id"]: r
+        for r in extract_media_features(synthesize_media_blobs(docs)).collect()
+    }
+    assert len(got) == 14
+    for i, r in got.items():
+        n = 10 + i * 7 if i < 12 else (50 if i == 31 else 1)
+        if i % 31 == 0:  # 0, 31, 62
+            assert r["error"].startswith("ValueError: unrecognized")
+            assert r["media_type"] is None and r["width"] is None
+            assert r["n_bytes"] == 21
+            continue
+        assert r["error"] is None
+        if i % 3 == 0:
+            overhead = {0: 57, 3: 11, 6: 26}[i % 9]
+            assert r["media_type"] == "image"
+            assert r["n_bytes"] == overhead + n
+            assert (r["width"], r["height"], r["n_frames"]) == (
+                n % 640 + 1, n % 480 + 1, 1)
+        elif i % 3 == 1:
+            assert r["media_type"] == "audio"
+            assert r["n_bytes"] == 44 + 2 * (n % 16000 + 1)
+            assert (r["width"], r["height"]) == (0, 0)
+            assert r["n_frames"] == n % 16000 + 1
+        else:
+            assert r["media_type"] == "video"
+            assert r["n_bytes"] == 180 + n
+            assert (r["width"], r["height"], r["n_frames"]) == (
+                n % 1920 + 1, n % 1080 + 1, n % 300 + 1)
