@@ -50,6 +50,7 @@ from .seen import SeenSet
 # test/debug sink for EGET_CAPTURE_FETCH_PLAN=1 (one entry per generation
 # that ran a fetch join); cleared by the caller, never in the hot path
 FETCH_PLAN_CAPTURE: list[str] = []
+RESUME_PLAN_CAPTURE: list[str] = []
 
 CAND_SCHEMA = T.StructType(
     [
@@ -108,6 +109,15 @@ class CrawlConfig:
     # fetch/extract) and rewrites O(accumulated) bytes every K generations
     # — amortized cost O(seen/K) per generation, the standard LSM trade.
     seen_compact_every: int | None = None
+    # Small-wave admission fast path: when a wave's RAW candidate count
+    # (known before admission runs) is at most this, the sequence
+    # assigner skips range partitioning — the sampling job and the
+    # per-partition count job are pure overhead for a wave that fits one
+    # partition — and sorts locally inside the pinned pass instead
+    # (identical output; ordering.assign_seq_counted single_partition).
+    # This bounds the per-generation fixed cost on small/early waves; big
+    # drain waves keep the scalable two-pass shape. 0 disables.
+    seq_single_partition_max: int = 65_536
     max_generations: int = 64
 
     def __post_init__(self) -> None:
@@ -268,6 +278,7 @@ def _run_crawl(
     n_deferred = 0
     next_seq = 0
     admitted_count = 0
+    n_generations = 0  # generations that produced an extracted frame
     g0 = 0
 
     # ---- resume from last committed generation -------------------------
@@ -289,18 +300,38 @@ def _run_crawl(
             if ckpt.has_table(last, "deferred"):
                 deferred = ckpt.read(spark, last, "deferred")
                 n_deferred = deferred.count()
-            for g in range(last + 1):
-                if ckpt.has_table(g, "admitted"):
-                    admitted_gens.append(ckpt.read(spark, g, "admitted"))
-                if ckpt.has_table(g, "extracted"):
-                    extracted_gens.append(ckpt.read(spark, g, "extracted"))
-            # seen set = exactly the committed admitted rows; one bulk
-            # rebuild (bucketed write + distributive bloom build) replaces
-            # the old per-generation seen-table checkpoint
-            if admitted_gens:
-                seen.add(_union_all(admitted_gens))
+            # State rebuild as ONE multi-root scan over every committed
+            # generation (same shape as the final assembly, VERDICT r5
+            # watch #1): a design-point resume lands after hundreds-to-
+            # thousands of generations, and a per-generation read + N-ary
+            # union would pay an N-deep lineage at startup. The gen lists
+            # get the single-scan frame — with a checkpoint the final
+            # assembly re-reads read_all anyway, so they only serve the
+            # has-rows gates and the checkpoint-less in-memory path.
+            n_generations = sum(
+                1 for gg in range(last + 1) if ckpt.has_table(gg, "extracted")
+            )
+            prior_admitted = ckpt.read_all(spark, "admitted")
+            prior_extracted = ckpt.read_all(spark, "extracted")
+            if os.environ.get("EGET_CAPTURE_RESUME_PLAN") == "1":
+                # debug/test hook: record the rebuild-scan plans the ENGINE
+                # emits on resume (plan tests assert one multi-root scan,
+                # never an N-ary union, on the real code path)
+                from ..plans.explain import plan_text
+
+                for f in (prior_admitted, prior_extracted):
+                    if f is not None:
+                        RESUME_PLAN_CAPTURE.append(plan_text(f, mode="simple"))
+            if prior_admitted is not None:
+                admitted_gens.append(prior_admitted)
+                # seen set = exactly the committed admitted rows; one bulk
+                # rebuild (bucketed write + distributive bloom build)
+                # replaces the old per-generation seen-table checkpoint
+                seen.add(prior_admitted)
                 if use_priority:
-                    bump_host_counts(_union_all(admitted_gens))
+                    bump_host_counts(prior_admitted)
+            if prior_extracted is not None:
+                extracted_gens.append(prior_extracted)
 
     robots_b = F.broadcast(robots) if robots is not None else None
     trace = os.environ.get("EGET_CRAWL_TIMING") == "1"
@@ -433,7 +464,23 @@ def _run_crawl(
             # never does. The per-partition count pass inside assign_seq
             # doubles as the admitted-count metric — no row ever reaches
             # the driver.
-            seq_df, n_all = assign_seq_counted(c, order_cols, start=next_seq)
+            seq_df, n_all = assign_seq_counted(
+                c,
+                order_cols,
+                start=next_seq,
+                # n_cand bounds the post-filter wave from above; when the
+                # small-budget top_k actually truncated (remaining ≤ 10k),
+                # `remaining` is the tighter bound
+                single_partition=(
+                    min(
+                        n_cand,
+                        remaining
+                        if remaining is not None and remaining <= 10_000
+                        else n_cand,
+                    )
+                    <= cfg.seq_single_partition_max
+                ),
+            )
             if remaining is not None and n_all > remaining:
                 seq_df = seq_df.filter(
                     F.col("enqueue_seq") < F.lit(next_seq + remaining)
@@ -621,6 +668,7 @@ def _run_crawl(
         ext = ext.localCheckpoint(eager=True)
         t0 = _t("extract", t0)
         extracted_gens.append(ext)
+        n_generations += 1
 
         # ---------------- expand links → next wave ----------------------
         cand = (
@@ -759,7 +807,7 @@ def _run_crawl(
         admitted=admitted,
         extracted=extracted,
         metrics=metrics,
-        generations=len(extracted_gens),
+        generations=n_generations,
         stats={"admitted": admitted_count, "next_seq": next_seq},
     )
 

@@ -42,11 +42,44 @@ def assign_seq_counted(
     start: int = 0,
     seq_col: str = "enqueue_seq",
     num_partitions: int | None = None,
+    single_partition: bool = False,
 ) -> tuple[DataFrame, int]:
     """``assign_seq`` + the total row count for free: the per-partition
     count pass already sums to the wave size, so callers that need both
-    (the crawl loop's admitted-count metric) avoid a second job."""
+    (the crawl loop's admitted-count metric) avoid a second job.
+
+    ``single_partition=True`` is the small-wave fast path: when the caller
+    KNOWS the frame fits comfortably in one partition (the crawl loop
+    knows the wave's candidate count before admission), range partitioning
+    is pure overhead — ``repartitionByRange`` runs a whole extra sampling
+    JOB to pick bounds, and the per-partition count pass is a second. The
+    fast path shuffles to one partition (upstream filters stay parallel),
+    sorts locally inside the pinned pass, and assigns ``start + i``
+    directly — identical output (order keys are a unique key, so the
+    global sort order equals the per-partition order), two fewer jobs per
+    generation."""
     spark = df.sparkSession
+    if single_partition:
+        one = (
+            df.repartition(1)
+            .sortWithinPartitions(*order_cols)
+            .localCheckpoint(eager=True)  # pin: consumers re-run cheap pass
+        )
+        n = one.count()  # O(ms): a count over one pinned partition
+        out_schema = T.StructType(
+            list(one.schema.fields) + [T.StructField(seq_col, T.LongType())]
+        )
+
+        def add_seq_single(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pos = start
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pdf[seq_col] = range(pos, pos + len(pdf))
+                pos += len(pdf)
+                yield pdf
+
+        return one.mapInPandas(add_seq_single, out_schema), n
     if num_partitions is None:
         num_partitions = max(2, spark.sparkContext.defaultParallelism)
     ranged = (

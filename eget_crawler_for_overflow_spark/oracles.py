@@ -1070,13 +1070,27 @@ SELECT doc_id,
        WHEN len(words) >= 5 THEN 1 ELSE 0 END AS INT) AS quality_bucket,
   CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
   CAST(list_sum([(length(w) + 3) // 4
-        for w in string_split_regex(trim(text), '\\s+')]) AS INT) AS bpe_tokens
+        for w in string_split_regex(trim(text), '\\s+')]) AS INT) AS bpe_tokens,
+  md5(text) AS fingerprint
 FROM w
 """
 
-ORACLES["doc_fingerprint"] = (
-    "SELECT doc_id, md5(text) AS fingerprint FROM documents"
-)
+ORACLES["extract_cache"] = f"""
+-- append-only snapshot after the 3-run TTL protocol: run 0 cached
+-- i%3==0, run 1 cached i%3==1, run 3 (ttl 2 runs => valid cache is
+-- run_id >= 1) re-extracted the never-cached (i%3==2) and the expired
+-- (i%3==0) pages; original rows survive (the cache appends, never
+-- overwrites)
+WITH {PAGES}
+SELECT url, CAST(0 AS INT) AS run_id, md AS markdown, title,
+       lang AS language FROM pages_g WHERE i % 3 = 0
+UNION ALL
+SELECT url, CAST(1 AS INT) AS run_id, md AS markdown, title,
+       lang AS language FROM pages_g WHERE i % 3 = 1
+UNION ALL
+SELECT url, CAST(3 AS INT) AS run_id, md AS markdown, title,
+       lang AS language FROM pages_g WHERE i % 3 <> 1
+"""
 
 ORACLES["multimodal_features"] = """
 -- REAL decode path (r6): the engine builds real PNG/GIF/BMP/WAV/MP4

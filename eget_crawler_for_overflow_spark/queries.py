@@ -815,22 +815,48 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_quality(spark, sf_dir):
-    """Quality scoring + token counting in one per-doc projection (merged
-    from the r02 `quality_score` / `token_count` rows — 50-query driver
-    budget; both operators stay independently value-hashed via their own
-    columns)."""
+    """Quality scoring + token counting + document fingerprinting in one
+    per-doc projection (merged from the r02 `quality_score`/`token_count`
+    rows, r6 folds in `doc_fingerprint` to free a slot for `extract_cache`
+    under the 50-query driver budget; every operator stays independently
+    value-hashed via its own column)."""
     return _docs(spark, sf_dir).select(
         "doc_id",
         *quality_features(F.col("text")),
         whitespace_token_count(F.col("text")).alias("ws_tokens"),
         bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
 
 
-def q_doc_fingerprint(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+def q_extract_cache(spark, sf_dir):
+    """S3/J2 driver query: the TTL'd incremental-extract anti-join through
+    the REAL `extract_incremental` operator (operators/cache.py; reference
+    cache_service.py:37-99 — 24h-TTL Redis cache keyed sha256(url+options),
+    hit ⇒ skip the scrape). Protocol: run 0 caches pages i%3==0, run 1
+    caches i%3==1, then the query run (run_id=3, ttl_generations=2)
+    anti-joins against the still-valid entries (run_id ≥ 1) so it extracts
+    exactly the never-cached (i%3==2) and the TTL-expired (i%3==0) pages.
+    Output is the full append-only snapshot state; the oracle predicts it
+    in closed form from the page index."""
+    import shutil
+    import tempfile
+
+    from .operators.cache import extract_incremental
+
+    p = _pages(spark, sf_dir)
+    pid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    snap = tempfile.mkdtemp(prefix="eget_extract_cache_")
+    extract_incremental(spark, p.filter(pid % 3 == 0), snap, run_id=0)
+    extract_incremental(spark, p.filter(pid % 3 == 1), snap, run_id=1)
+    extract_incremental(spark, p, snap, ttl_generations=2, run_id=3)
+    out = (
+        spark.read.parquet(snap)
+        .select("url", "run_id", "markdown", "title", "language")
+        .localCheckpoint(eager=True)  # detach from the tmp files
     )
+    shutil.rmtree(snap, ignore_errors=True)
+    return out
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -939,7 +965,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
-    "doc_fingerprint": q_doc_fingerprint,
+    "extract_cache": q_extract_cache,
     "multimodal_features": q_multimodal_features,
     "events_summary": q_events_summary,
 }

@@ -619,3 +619,129 @@ def test_priority_counts_merge_failure_surfaces(spark, pages, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="induced counts-merge"):
         run_crawl(spark, pages, seeds_host0(), prio)
+
+
+def test_many_generation_resume_rebuilds_state_in_one_scan(
+    spark, pages, tmp_path, monkeypatch
+):
+    """Design-point resume (VERDICT r5 watch #1): after many committed
+    generations, the resume path must rebuild the seen set / gen frames
+    from ONE multi-root scan over the committed admitted/extracted tables
+    — never a per-generation read + N-ary union (the shape the final
+    assembly already eliminated). Same 70-leaf politeness-stretched star
+    as test_checkpointed_final_union_is_one_scan, interrupted at
+    generation 40 and resumed; output must equal the uninterrupted run."""
+    from eget_crawler_for_overflow_spark.operators.frontier import (
+        RESUME_PLAN_CAPTURE,
+    )
+
+    n_leaves = 70
+    seed_url = "https://host0.example/p/0"
+    leaf = b"<html><body>leaf</body></html>"
+    hub = (
+        "<html><body>"
+        + "".join(
+            f'<a href="https://host0.example/p/{i}">x</a>'
+            for i in range(1, n_leaves + 1)
+        )
+        + "</body></html>"
+    ).encode()
+    star = spark.createDataFrame(
+        [(seed_url, bytearray(hub))]
+        + [
+            (f"https://host0.example/p/{i}", bytearray(leaf))
+            for i in range(1, n_leaves + 1)
+        ],
+        "url string, html binary",
+    )
+    robots_df = spark.createDataFrame(
+        [("host0.example", "User-agent: *\nCrawl-delay: 2")],
+        "host string, rules_text string",
+    )
+
+    def cfg(max_gens):
+        return CrawlConfig(
+            max_depth=1,
+            max_pages=None,
+            respect_robots=True,
+            crawl_delay_window=2.0,
+            n_salts=1,
+            max_generations=max_gens,
+        )
+
+    full = run_crawl(spark, star, [seed_url], cfg(256), robots=robots_df)
+    want = sorted(
+        (r["url"], r["depth"], r["enqueue_seq"])
+        for r in full.admitted.collect()
+    )
+
+    ck = str(tmp_path / "ckpt_resume_scan")
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # truncated-crawl warning expected
+        run_crawl(
+            spark, star, [seed_url], cfg(40), robots=robots_df,
+            checkpoint_dir=ck,
+        )
+    RESUME_PLAN_CAPTURE.clear()
+    monkeypatch.setenv("EGET_CAPTURE_RESUME_PLAN", "1")
+    resumed = run_crawl(
+        spark, star, [seed_url], cfg(256), robots=robots_df,
+        checkpoint_dir=ck, resume=True,
+    )
+    monkeypatch.delenv("EGET_CAPTURE_RESUME_PLAN")
+
+    assert len(RESUME_PLAN_CAPTURE) == 2  # admitted + extracted rebuilds
+    for txt in RESUME_PLAN_CAPTURE:
+        assert txt.count("Scan parquet") == 1, txt
+        assert "Union" not in txt, txt
+
+    got = sorted(
+        (r["url"], r["depth"], r["enqueue_seq"])
+        for r in resumed.admitted.collect()
+    )
+    assert got == want
+    assert resumed.generations == full.generations
+
+
+def test_seq_single_partition_fastpath_identical(spark, pages):
+    """The small-wave admission fast path (ordering.assign_seq_counted
+    single_partition) must produce byte-identical admission order to the
+    range-partitioned two-pass — forced ON vs forced OFF over the same
+    multi-host crawl, plain FIFO and priority keys."""
+    seeds = seeds_host0()
+    for prio in (0.0, 1.0):
+        got = {}
+        for thresh in (0, 1 << 30):
+            cfg = CrawlConfig(
+                max_depth=4,
+                max_pages=None,
+                same_domain=False,
+                priority_host_weight=prio,
+                seq_single_partition_max=thresh,
+            )
+            res = run_crawl(spark, pages, seeds, cfg)
+            got[thresh] = sorted(
+                (r["url"], r["depth"], r["enqueue_seq"])
+                for r in res.admitted.collect()
+            )
+        assert got[0] == got[1 << 30]
+
+
+def test_assign_seq_single_partition_matches_two_pass(spark):
+    """Unit-level A/B on the assigner itself, multiple Arrow batches in
+    one partition (batch-boundary pos accumulation)."""
+    from eget_crawler_for_overflow_spark.operators.ordering import (
+        assign_seq_counted,
+    )
+
+    rows = [((i * 2654435761) % 100003, i) for i in range(25_000)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+    a, na = assign_seq_counted(df, ["k"], start=7, single_partition=False)
+    b, nb = assign_seq_counted(df, ["k"], start=7, single_partition=True)
+    assert na == nb == 25_000
+    ra = sorted((r["k"], r["v"], r["enqueue_seq"]) for r in a.collect())
+    rb = sorted((r["k"], r["v"], r["enqueue_seq"]) for r in b.collect())
+    assert ra == rb
+    assert b.rdd.getNumPartitions() == 1
