@@ -43,6 +43,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 MAX_FILE_BYTES = 5 * 1024 * 1024  # conversion_service.py:47-53
+# Decompression-bomb guard: any single decoded stream (PDF filter chain
+# output, zip member) larger than this raises/skips instead of allocating
+# unboundedly — a 5 MB hostile input can otherwise inflate by 1000×+
+# (Flate), ~128× (RLE), or quadratically (LZW). Converters must yield
+# markdown-or-typed-error on EVERY input, never an OOM.
+MAX_DECODED_BYTES = 64 * 1024 * 1024
+
+
+def _bounded_flate(data: bytes) -> bytes:
+    import zlib
+
+    d = zlib.decompressobj()
+    out = d.decompress(data, MAX_DECODED_BYTES + 1)
+    if len(out) > MAX_DECODED_BYTES:
+        raise ValueError("FlateDecode output exceeds size cap")
+    return out
+
+
+def _zread(z, name: str) -> bytes:
+    """zip member read with the declared-size guard (ZipExtFile caps the
+    decompressed stream at the central directory's file_size, so checking
+    the declared size bounds the allocation)."""
+    if z.getinfo(name).file_size > MAX_DECODED_BYTES:
+        raise ValueError(f"zip member {name} exceeds size cap")
+    return z.read(name)
 
 _REGISTRY: dict[str, Callable[[bytes], str]] = {}
 
@@ -176,10 +201,10 @@ def _decode_docx(payload: bytes) -> str:
     import zipfile
 
     with zipfile.ZipFile(io.BytesIO(payload)) as z:
-        body = ET.fromstring(z.read("word/document.xml")).find(f"{_W}body")
+        body = ET.fromstring(_zread(z, "word/document.xml")).find(f"{_W}body")
         rels: dict[str, str] = {}
         if "word/_rels/document.xml.rels" in z.namelist():
-            for rel in ET.fromstring(z.read("word/_rels/document.xml.rels")):
+            for rel in ET.fromstring(_zread(z, "word/_rels/document.xml.rels")):
                 tgt = rel.get("Target", "")
                 if "media/" in tgt:
                     rels[rel.get("Id", "")] = tgt.lstrip("/")
@@ -327,31 +352,31 @@ def _decode_xlsx(payload: bytes) -> str:
         date_styles: list[bool] = []
         if "xl/styles.xml" in names:
             date_styles = _xlsx_date_styles(
-                ET.fromstring(z.read("xl/styles.xml"))
+                ET.fromstring(_zread(z, "xl/styles.xml"))
             )
         shared: list[str] = []
         if "xl/sharedStrings.xml" in names:
             shared = [
                 "".join(t.text or "" for t in si.iter(f"{_S}t"))
-                for si in ET.fromstring(z.read("xl/sharedStrings.xml")).iter(
+                for si in ET.fromstring(_zread(z, "xl/sharedStrings.xml")).iter(
                     f"{_S}si"
                 )
             ]
         rels = {}
         if "xl/_rels/workbook.xml.rels" in names:
-            for rel in ET.fromstring(z.read("xl/_rels/workbook.xml.rels")):
+            for rel in ET.fromstring(_zread(z, "xl/_rels/workbook.xml.rels")):
                 tgt = rel.get("Target", "")
                 rels[rel.get("Id")] = (
                     tgt[1:] if tgt.startswith("/") else "xl/" + tgt
                 )
-        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        wb = ET.fromstring(_zread(z, "xl/workbook.xml"))
         blocks: list[str] = []
         for sheet in wb.iter(f"{_S}sheet"):
             name = sheet.get("name", "Sheet")
             target = rels.get(sheet.get(f"{_R}id"))
             if target is None or target not in names:
                 continue
-            ws = ET.fromstring(z.read(target))
+            ws = ET.fromstring(_zread(z, target))
             grid: list[list[str]] = []
             for row in ws.iter(f"{_S}row"):
                 cells: list[str] = []
@@ -689,6 +714,8 @@ def _lzw_decode(data: bytes) -> bytes:
             else:
                 raise ValueError(f"bad LZW code {code}")
             out += entry
+            if len(out) > MAX_DECODED_BYTES:
+                raise ValueError("LZWDecode output exceeds size cap")
             if prev is not None:
                 table[next_code] = prev + entry[:1]
                 next_code += 1
@@ -713,6 +740,8 @@ def _rle_decode(data: bytes) -> bytes:
         else:
             out += data[i + 1 : i + 2] * (257 - length)
             i += 2
+        if len(out) > MAX_DECODED_BYTES:
+            raise ValueError("RunLengthDecode output exceeds size cap")
     return bytes(out)
 
 
@@ -738,14 +767,12 @@ def _pdf_apply_filters(data: bytes, head: bytes) -> bytes | None:
     """Apply the stream's (possibly chained) /Filter list. Returns None
     for image/unsupported encodings (DCT/JPX/CCITTFax/JBIG2) or a failed
     decode — the caller skips the stream, never the document."""
-    import zlib
-
     fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", head)
     if not fm:
         return data
     decoders = {
-        b"FlateDecode": zlib.decompress,
-        b"Fl": zlib.decompress,
+        b"FlateDecode": _bounded_flate,
+        b"Fl": _bounded_flate,
         b"LZWDecode": _lzw_decode,
         b"LZW": _lzw_decode,
         b"ASCII85Decode": _a85_decode,
