@@ -159,16 +159,58 @@ def _docx_heading_level(p) -> int:
     return int(m.group(1)) if m else 0
 
 
-def _docx_list_level(p) -> int | None:
-    """Indent level for numbered/bulleted paragraphs (w:numPr present)."""
+def _docx_list_info(p) -> tuple[int, str | None] | None:
+    """(ilvl, numId) for numbered/bulleted paragraphs (w:numPr present;
+    docx_converter.py:203-227 reads both w:ilvl and w:numId), else None.
+    numId may be None for minimal documents that carry only an ilvl."""
     num = p.find(f"{_W}pPr/{_W}numPr")
     if num is None:
         return None
     ilvl = num.find(f"{_W}ilvl")
+    num_id = num.find(f"{_W}numId")
     try:
-        return int(ilvl.get(f"{_W}val", "0")) if ilvl is not None else 0
+        lvl = int(ilvl.get(f"{_W}val", "0")) if ilvl is not None else 0
     except ValueError:
-        return 0
+        lvl = 0
+    return lvl, (num_id.get(f"{_W}val") if num_id is not None else None)
+
+
+def _docx_numfmts(z) -> dict[tuple[str, int], str]:
+    """word/numbering.xml semantics: numId → w:abstractNumId → per-ilvl
+    w:numFmt ('bullet', 'decimal', 'lowerLetter', …). This is the real
+    ordered-vs-bullet determination the reference leaves as a text
+    heuristic ("Could extend this to check actual numbering definition",
+    docx_converter.py:229-244) — implemented here because losing the
+    distinction renders every numbered list as bullets."""
+    import xml.etree.ElementTree as ET
+
+    if "word/numbering.xml" not in z.namelist():
+        return {}
+    root = ET.fromstring(_zread(z, "word/numbering.xml"))
+    abstract: dict[str, dict[int, str]] = {}
+    for an in root.findall(f"{_W}abstractNum"):
+        lvls: dict[int, str] = {}
+        for lvl in an.findall(f"{_W}lvl"):
+            try:
+                i = int(lvl.get(f"{_W}ilvl", "0"))
+            except ValueError:
+                continue
+            nf = lvl.find(f"{_W}numFmt")
+            lvls[i] = (
+                nf.get(f"{_W}val", "decimal") if nf is not None else "decimal"
+            )
+        abstract[an.get(f"{_W}abstractNumId", "")] = lvls
+    out: dict[tuple[str, int], str] = {}
+    for num in root.findall(f"{_W}num"):
+        nid = num.get(f"{_W}numId", "")
+        ref = num.find(f"{_W}abstractNumId")
+        aid = ref.get(f"{_W}val", "") if ref is not None else ""
+        for i, fmt in abstract.get(aid, {}).items():
+            out[(nid, i)] = fmt
+    return out
+
+
+_ORDERED_TEXT = re.compile(r"^\d+\.?\s")  # docx_converter.py:240 heuristic
 
 
 def _md_table(rows: list[list[str]]) -> str:
@@ -208,9 +250,14 @@ def _decode_docx(payload: bytes) -> str:
                 tgt = rel.get("Target", "")
                 if "media/" in tgt:
                     rels[rel.get("Id", "")] = tgt.lstrip("/")
+        numfmts = _docx_numfmts(z)
     if body is None:
         raise ValueError("DOCX has no document body")
     blocks: list[str] = []
+    # Ordered-list counters keyed (numId, ilvl): Word numbering continues
+    # across interruptions within the same numId; an item at level L
+    # restarts the counters of every deeper level (default lvlRestart).
+    counters: dict[tuple[str | None, int], int] = {}
     for el in body:
         if el.tag == f"{_W}p":
             text = _docx_para_text(el, rels)
@@ -220,9 +267,25 @@ def _decode_docx(payload: bytes) -> str:
             if lvl:
                 blocks.append("#" * lvl + " " + text)
                 continue
-            ilvl = _docx_list_level(el)
-            if ilvl is not None:
-                blocks.append("  " * ilvl + "- " + text)
+            info = _docx_list_info(el)
+            if info is not None:
+                ilvl, num_id = info
+                fmt = numfmts.get((num_id, ilvl)) if num_id is not None else None
+                if fmt is None:
+                    # no numbering.xml binding: the reference's text
+                    # heuristic (docx_converter.py:240)
+                    ordered = bool(_ORDERED_TEXT.match(text.strip()))
+                else:
+                    ordered = fmt != "bullet"
+                for key in list(counters):
+                    if key[0] == num_id and key[1] > ilvl:
+                        del counters[key]
+                if ordered:
+                    n = counters.get((num_id, ilvl), 0) + 1
+                    counters[(num_id, ilvl)] = n
+                    blocks.append("  " * ilvl + f"{n}. " + text)
+                else:
+                    blocks.append("  " * ilvl + "- " + text)
             else:
                 blocks.append(text)
         elif el.tag == f"{_W}tbl":
@@ -599,6 +662,7 @@ def _pdf_stream_text(
     cur_size = 0.0
     cur_cmap: dict[int, str] | None = None
     line_size = 0.0  # size at the line's FIRST glyph (Tf may change mid-gap)
+    in_array = False  # inside a TJ [...] show-array
 
     def decode(raw: bytes) -> str:
         if cur_cmap is not None:
@@ -639,6 +703,45 @@ def _pdf_stream_text(
             except ValueError:
                 pass
             i = j + 1
+            continue
+        if ch == b"[":
+            in_array = True
+            i += 1
+            continue
+        if ch == b"]":
+            in_array = False
+            i += 1
+            continue
+        if in_array and (ch.isdigit() or ch in (b"-", b"+", b".")):
+            # TJ kerning adjustment (thousandths of an em, negative =
+            # rightward gap). CID/kerned producers encode INTER-COLUMN
+            # whitespace this way instead of space glyphs, so a large
+            # negative offset must become a space or spaced-table
+            # detection (and word boundaries generally) can never fire
+            # on such streams — pdf_converter.py's PyPDF2 path gets the
+            # same from extract_text's displacement heuristic.
+            mnum = re.match(rb"[-+]?\d*\.?\d+", stream[i : i + 24])
+            if mnum:
+                try:
+                    v = float(mnum.group())
+                    if v <= -180 and pending:
+                        # word gap; ≤ -500 is a COLUMN gap (two spaces, so
+                        # the spaced-table pattern's \s{2,} can match)
+                        append("  " if v <= -500 else " ")
+                except ValueError:
+                    pass
+                i += mnum.end()
+                continue
+            i += 1
+            continue
+        if stream[i : i + 2] == b"Tm":
+            # a new text matrix repositions the pen (translation and/or
+            # rotation): producers that lay out rows — or rotated runs —
+            # via Tm instead of Td/T* still need those rows seen as
+            # SEPARATE lines, else a whole BT block concatenates into one
+            # line and table detection cannot match it
+            flush_line()
+            i += 2
             continue
         if stream[i : i + 2] == b"Tf":
             m = re.search(rb"/(\w+)\s+([\d.]+)\s*$", stream[max(0, i - 48) : i])

@@ -399,7 +399,9 @@ def test_docx_image_without_rels_ignored():
     assert _decode_docx(make_docx(doc)) == "plain"
 
 
-def make_cid_pdf(text: str, cmap_flate: bool = True) -> bytes:
+def make_cid_pdf(
+    text: str, cmap_flate: bool = True, content: bytes | None = None
+) -> bytes:
     """Identity-H subset font: each glyph gets an arbitrary 2-byte code;
     the ToUnicode CMap (bfchar for odd glyphs, one bfrange over a
     contiguous run) is the ONLY route back to the text — exactly the
@@ -427,7 +429,8 @@ def make_cid_pdf(text: str, cmap_flate: bool = True) -> bytes:
     else:
         cmap_body, cmap_filt = cmap, b""
     hexstr = "".join(f"{code_of[c]:04X}" for c in text)
-    content = f"BT /F1 12 Tf <{hexstr}> Tj ET".encode()
+    if content is None:
+        content = f"BT /F1 12 Tf <{hexstr}> Tj ET".encode()
     objs = [
         b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
         b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
@@ -652,3 +655,152 @@ def test_xlsx_date_styled_cells_isoformat():
         z.writestr("xl/worksheets/sheet1.xml", sheet)
     md = _decode_xlsx(buf.getvalue())
     assert "| 2024-01-01T00:00:00 | 2024-01-01T12:00:00 | 06:00:00 | 45292 |" in md
+
+
+def _numbering_xml() -> str:
+    """numbering.xml binding numId 1 → decimal (ordered) at ilvl 0/1,
+    numId 2 → bullet."""
+    return f"""<?xml version="1.0"?>
+<w:numbering {W_NS}>
+  <w:abstractNum w:abstractNumId="10">
+    <w:lvl w:ilvl="0"><w:numFmt w:val="decimal"/></w:lvl>
+    <w:lvl w:ilvl="1"><w:numFmt w:val="lowerLetter"/></w:lvl>
+  </w:abstractNum>
+  <w:abstractNum w:abstractNumId="20">
+    <w:lvl w:ilvl="0"><w:numFmt w:val="bullet"/></w:lvl>
+  </w:abstractNum>
+  <w:num w:numId="1"><w:abstractNumId w:val="10"/></w:num>
+  <w:num w:numId="2"><w:abstractNumId w:val="20"/></w:num>
+</w:numbering>"""
+
+
+def make_docx_numbered(document_xml: str) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", document_xml)
+        z.writestr("word/numbering.xml", _numbering_xml())
+    return buf.getvalue()
+
+
+def _li(num_id: int, ilvl: int, text: str) -> str:
+    return (
+        f'<w:p><w:pPr><w:numPr><w:ilvl w:val="{ilvl}"/>'
+        f'<w:numId w:val="{num_id}"/></w:numPr></w:pPr>'
+        f"<w:r><w:t>{text}</w:t></w:r></w:p>"
+    )
+
+
+def test_docx_numbering_xml_ordered_lists():
+    """numbering.xml numFmt decides ordered-vs-bullet (the determination
+    the reference stubs with a text heuristic, docx_converter.py:229-244);
+    ordered items get sequential markdown numbers that continue across a
+    plain paragraph (same numId) and restart for deeper levels after a
+    shallower item."""
+    doc = f"""<?xml version="1.0"?>
+<w:document {W_NS}><w:body>
+  {_li(1, 0, 'first step')}
+  {_li(1, 0, 'second step')}
+  {_li(1, 1, 'sub a')}
+  {_li(1, 1, 'sub b')}
+  {_li(1, 0, 'third step')}
+  {_li(1, 1, 'sub again')}
+  <w:p><w:r><w:t>interlude paragraph</w:t></w:r></w:p>
+  {_li(1, 0, 'fourth step')}
+  {_li(2, 0, 'bullet one')}
+  {_li(2, 0, 'bullet two')}
+</w:body></w:document>"""
+    md = _decode_docx(make_docx_numbered(doc))
+    lines = md.splitlines()
+    assert "1. first step" in lines
+    assert "2. second step" in lines
+    assert "1. sub a" in lines
+    assert "2. sub b" in lines
+    assert "3. third step" in lines
+    assert "1. sub again" in lines  # deeper counter restarted
+    assert "4. fourth step" in lines  # continues across the interlude
+    assert "- bullet one" in lines and "- bullet two" in lines
+
+
+def test_docx_list_without_numbering_uses_reference_heuristic():
+    """No numbering.xml: ordered-ness falls back to the reference's
+    ^\\d+\\.?\\s text match (docx_converter.py:240) — numbered-looking text
+    gets markdown numbering (duplicating the inline number exactly like
+    the reference's enumerate-over-text render), anything else bullets."""
+    doc = f"""<?xml version="1.0"?>
+<w:document {W_NS}><w:body>
+  {_li(1, 0, '1. already numbered')}
+  {_li(1, 0, 'plain item')}
+</w:body></w:document>"""
+    md = _decode_docx(make_docx(doc))
+    lines = md.splitlines()
+    assert "1. 1. already numbered" in lines
+    assert "- plain item" in lines
+
+
+def test_pdf_tm_positioned_rows_form_lines_and_tables():
+    """Producers that lay out rows via Tm (text matrix) instead of
+    Td/T* must still yield one extracted line per row — and a
+    spaced-columns region across those rows must render as a table
+    (pdf_converter.py:211-253 patterns)."""
+    content = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 72 700 Tm (name  qty  price  total) Tj "
+        b"1 0 0 1 72 680 Tm (apple  3  1.50  4.50) Tj "
+        b"1 0 0 1 72 660 Tm (pear  7  2.25  15.75) Tj ET"
+    )
+    md = _decode_pdf(make_pdf(content, compress=True))
+    # bug-for-bug with the reference pattern: the spaced-table match
+    # STARTS at the first \s{2,} gap (the first header cell is dropped)
+    # and the non-greedy tail ends at the SECOND qualifying line, so the
+    # third row stays plain text (pdf_converter.py:222,229)
+    assert "| qty | price | total | |" in md
+    assert "| apple | 3 | 1.50 | 4.50 |" in md
+    assert "pear 7 2.25 15.75" in md
+    assert "name" not in md
+
+
+def test_pdf_rotated_tm_rows_still_separate_lines():
+    """A 90-degree rotation matrix is still a reposition: rotated runs
+    must not concatenate into one line."""
+    content = (
+        b"BT /F1 12 Tf "
+        b"0 1 -1 0 500 72 Tm (rotated one) Tj "
+        b"0 1 -1 0 480 72 Tm (rotated two) Tj ET"
+    )
+    md = _decode_pdf(make_pdf(content, compress=False))
+    assert md == "rotated one\nrotated two"
+
+
+def test_pdf_cid_tj_kerning_becomes_column_spaces():
+    """CID/kerned producers encode inter-column whitespace as negative
+    TJ adjustments, not space glyphs; large offsets must become column
+    gaps so table detection fires on CID text too."""
+
+    def hx(word: str) -> str:
+        return "".join(
+            f"{0x2000 + 'abcdefghij'.index(c):04X}" for c in word
+        )
+
+    def row(y: int, *words: str) -> str:
+        cells = " -800 ".join(f"<{hx(w)}>" for w in words)
+        return f"1 0 0 1 72 {y} Tm [{cells}] TJ "
+
+    content = (
+        "BT /F1 12 Tf "
+        + row(700, "abc", "de", "fg", "hij")
+        + row(680, "bcd", "ef", "ga", "ihj")
+        + "ET"
+    ).encode()
+    md = _decode_pdf(make_cid_pdf("abcdefghij", content=content))
+    # same reference-pattern semantics as the literal-string case: the
+    # match starts at the first column gap, dropping the first cell
+    assert md == (
+        "| de | fg | hij | |\n|---|---|---|---|\n| bcd | ef | ga | ihj |"
+    )
+
+
+def test_pdf_small_tj_kerning_is_not_a_space():
+    content = b"BT /F1 12 Tf [(ker) -120 (ned)] TJ ET"
+    assert _decode_pdf(make_pdf(content, compress=False)) == "kerned"
+    content2 = b"BT /F1 12 Tf [(two) -300 (words)] TJ ET"
+    assert _decode_pdf(make_pdf(content2, compress=False)) == "two words"
