@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .htmllib import REMOVE_TAGS, Node, parse_html
+from .htmllib import REMOVE_TAGS, Node, parse_html, to_html
 
 # ---------------------------------------------------------------------------
 # markdown conversion (this engine's pinned dialect)
@@ -323,6 +323,7 @@ def _extract_from_root(
     only_main: bool = True,
     include_tags: list[str] | None = None,
     exclude_tags: list[str] | None = None,
+    include_html: bool = False,
 ) -> dict:
     """Extraction bundle over an already-parsed tree (parse shared with
     link extraction in the crawl hot path). NOTE: mutates the tree (clean),
@@ -355,6 +356,11 @@ def _extract_from_root(
     clean_tree(content)
     markdown = to_markdown(content)
     return {
+        # cleaned-HTML serialization only when the caller asked for it:
+        # the crawl hot path never pays the serializer (the reference's
+        # extract_content always builds clean_html, scraper.py:188-192;
+        # here the envelope UDF requests it, the bundle UDF does not)
+        "html": to_html(content) if include_html else None,
         "markdown": markdown,
         "title": metadata.get("title", ""),
         "description": metadata.get("description", ""),
@@ -540,3 +546,136 @@ def title_udf(html: pd.Series) -> pd.Series:
     for h in html:
         out.append(extract_metadata(parse_html(_decode(h))).get("title", ""))
     return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# /scrape batch envelope (models/response.py ScrapeData, per-row options)
+# ---------------------------------------------------------------------------
+
+# Flattened ScrapeData (models/response.py:20-31). `screenshot` and
+# `actions_screenshots` exist so the reference's response shape round-trips:
+# both are ALWAYS null in batch — the reference's take_screenshot returns
+# None on any failure (scraper.py:451-459) and a batch engine over
+# pre-fetched HTML has no browser, so includeScreenshot degrades exactly
+# like a failed capture, plus an explicit `warning` (the reference degrades
+# silently; surfacing it in the documented warning field is the one
+# deliberate divergence). `llm_extraction` is declared by the reference
+# model but never populated anywhere in its codebase — null here too.
+SCRAPE_DATA_SCHEMA = T.StructType(
+    [
+        T.StructField("success", T.BooleanType()),
+        T.StructField("markdown", T.StringType()),
+        T.StructField("html", T.StringType()),
+        T.StructField("raw_html", T.StringType()),
+        T.StructField("screenshot", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+        T.StructField("actions_screenshots", T.ArrayType(T.StringType())),
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("source_url", T.StringType()),
+        T.StructField("status_code", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("open_graph", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("twitter_card", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("meta_data", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("json_ld", T.ArrayType(T.StringType())),
+        T.StructField("llm_extraction", T.StringType()),
+        T.StructField("warning", T.StringType()),
+    ]
+)
+
+_SCREENSHOT_WARNING = (
+    "screenshot unavailable: batch engine has no live browser"
+)
+
+
+def _scrape_one(
+    html,
+    url: str,
+    only_main,
+    include_tags,
+    exclude_tags,
+    include_raw,
+    include_screenshot,
+) -> dict:
+    """One ScrapeRequest → flattened ScrapeData dict.
+
+    Success path mirrors scraper.py:806-855 (_process_page_data); any
+    failure — including a URL absent from the pages corpus, the batch
+    analog of a failed browser fetch — produces the reference's error
+    envelope bug-for-bug: every data field None, statusCode 500,
+    error == warning == str(e) (scraper.py:773-797)."""
+    from .urls import extract_links_from_root
+
+    nulls = {f.name: None for f in SCRAPE_DATA_SCHEMA.fields}
+    try:
+        if html is None:
+            raise ValueError(f"fetch failed: {url} not in pages corpus")
+        only_main = True if only_main is None else bool(only_main)
+        include_tags = list(include_tags) if include_tags is not None else None
+        exclude_tags = list(exclude_tags) if exclude_tags is not None else None
+        text = _decode(html)
+        root = parse_html(text)
+        # links first: the envelope's links are every resolved anchor in
+        # the raw page (the reference reads them from the live DOM before
+        # extraction), and _extract_from_root's clean pass mutates the tree
+        links = extract_links_from_root(root, url or "", same_domain=False)
+        r = _extract_from_root(
+            root, only_main, include_tags, exclude_tags, include_html=True
+        )
+        return {
+            **nulls,
+            "success": True,
+            "markdown": r["markdown"],
+            "html": r["html"],
+            "raw_html": text if include_raw else None,
+            "links": links,
+            "title": r["title"],
+            "description": r["description"],
+            "language": r["language"],
+            "source_url": url or "",
+            "status_code": 200,
+            "open_graph": r["open_graph"],
+            "twitter_card": r["twitter_card"],
+            "meta_data": r["meta_data"],
+            "json_ld": r["json_ld"],
+            "warning": _SCREENSHOT_WARNING if include_screenshot else None,
+        }
+    except Exception as e:  # reference error envelope (scraper.py:773-797)
+        msg = str(e)
+        return {
+            **nulls,
+            "success": False,
+            "source_url": url or "",
+            "status_code": 500,
+            "error": msg,
+            "warning": msg,
+        }
+
+
+@F.pandas_udf(SCRAPE_DATA_SCHEMA)
+def scrape_envelope_udf(
+    html: pd.Series,
+    url: pd.Series,
+    only_main: pd.Series,
+    include_tags: pd.Series,
+    exclude_tags: pd.Series,
+    include_raw: pd.Series,
+    include_screenshot: pd.Series,
+) -> pd.DataFrame:
+    """Arrow-vectorized per-row-options scrape: each row carries its OWN
+    onlyMainContent / includeTags / excludeTags / includeRawHtml /
+    includeScreenshot (models/request.py:18-34) — the batch analog of one
+    POST /scrape per row, where make_scrape_udf binds one option set for
+    the whole job."""
+    rows = [
+        _scrape_one(h, u, om, it, et, bool(ir), bool(sc))
+        for h, u, om, it, et, ir, sc in zip(
+            html, url, only_main, include_tags, exclude_tags,
+            include_raw.fillna(False), include_screenshot.fillna(False),
+        )
+    ]
+    return pd.DataFrame(
+        {f.name: [r[f.name] for r in rows] for f in SCRAPE_DATA_SCHEMA.fields}
+    )

@@ -349,6 +349,48 @@ def attr_matches(value: str | None, pattern: re.Pattern) -> bool:
     return value is not None and bool(pattern.search(value))
 
 
+def _esc_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _esc_attr(s: str) -> str:
+    return (
+        s.replace("&", "&amp;")
+        .replace('"', "&quot;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+
+
+def to_html(node: Node) -> str:
+    """Serialize a Node tree back to HTML — the ScrapeData ``html`` field
+    (models/response.py:21-31: the reference returns ``str()`` of the
+    cleaned soup, scraper.py:188-192). Text re-escaped (`&<>`; the parser
+    decoded charrefs), attributes double-quoted in parse order, void
+    elements unclosed. Deterministic: serializing the same tree twice is
+    byte-identical, and parse(to_html(t)) rebuilds an equal tree."""
+    out: list[str] = []
+
+    def walk(n: Node) -> None:
+        if n.is_text:
+            out.append(_esc_text(n.text_content))
+            return
+        wrap = n.tag != "[document]"
+        if wrap:
+            attrs = "".join(
+                f' {k}="{_esc_attr(v if v is not None else "")}"'
+                for k, v in n.attrs.items()
+            )
+            out.append(f"<{n.tag}{attrs}>")
+        for c in n.children:
+            walk(c)
+        if wrap and n.tag not in VOID_ELEMENTS:
+            out.append(f"</{n.tag}>")
+
+    walk(node)
+    return "".join(out)
+
+
 __all__ = [
     "Node",
     "parse_html",
@@ -356,4 +398,5 @@ __all__ = [
     "VOID_ELEMENTS",
     "REMOVE_TAGS",
     "attr_matches",
+    "to_html",
 ]

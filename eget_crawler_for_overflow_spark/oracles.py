@@ -106,16 +106,50 @@ SELECT p.url,
 FROM pages_g p
 """
 
-ORACLES["extract_tag_filters"] = f"""
+# batch /scrape with per-row options (absorbs extract_tag_filters, round 6):
+# the markdown column CASEs between the four closed forms the option matrix
+# selects (includeTags / onlyMainContent=False / excludeTags / default);
+# miss rows (one /nav per host) get the reference error envelope.
+_MD_INCLUDE = f"'# Doc ' || p.i || {_NN} || '## Details' || chr(10)"
+_MD_EXCLUDE = f"""
+'# Doc ' || p.i || {_NN} ||
+p.doc_text || ' See [next](' || {_C0URL} || ').' || {_NN} ||
+'## Details' || {_NN} || 'Details for page ' || p.i || '.' ||
+CASE WHEN p.i % 4 = 3 THEN {_NN} || 'Closing note ' || p.i || '.' ELSE '' END
+|| chr(10)
+"""
+_MD_MAIN_OFF = f"""
+'Doc ' || p.i || {_NN} || '# Doc ' || p.i || {_NN} ||
+p.doc_text || ' See [next](' || {_C0URL} || ').' || {_NN} ||
+'## Details' || {_NN} || 'Details for page ' || p.i || '.' || {_NN} ||
+{_BBLOCK} || {_NN} || {_ANCHORS} || chr(10)
+"""
+_NAV_ERR = "'fetch failed: https://host' || h.i || '.example/nav not in pages corpus'"
+
+ORACLES["scrape_requests"] = f"""
 WITH {PAGES}
 SELECT p.url,
-  '# Doc ' || p.i || {_NN} ||
-  p.doc_text || ' See [next](' || {_C0URL} || ').' || {_NN} ||
-  '## Details' || {_NN} || 'Details for page ' || p.i || '.' ||
-  CASE WHEN p.i % 4 = 3 THEN {_NN} || 'Closing note ' || p.i || '.' ELSE '' END
-  || chr(10) AS md_exclude,
-  '# Doc ' || p.i || {_NN} || '## Details' || chr(10) AS md_include
+  TRUE AS success,
+  CASE WHEN p.i % 7 = 0 THEN {_MD_INCLUDE}
+       WHEN p.i % 7 = 1 THEN {_MD_MAIN_OFF}
+       WHEN p.i % 7 = 3 THEN {_MD_EXCLUDE}
+       ELSE p.md END AS markdown,
+  CASE WHEN p.i % 7 = 0
+       THEN '<div><h1>Doc ' || p.i || '</h1><h2>Details</h2></div>'
+       END AS html_inc,
+  (p.i % 3 = 0) AS has_raw,
+  FALSE AS has_screenshot,
+  CASE WHEN p.i % 5 = 0
+       THEN 'screenshot unavailable: batch engine has no live browser'
+       END AS warning,
+  CAST(200 AS INTEGER) AS status_code,
+  CAST(NULL AS VARCHAR) AS error
 FROM pages_g p
+UNION ALL
+SELECT 'https://host' || h.i || '.example/nav', FALSE,
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), FALSE, FALSE,
+  {_NAV_ERR}, CAST(500 AS INTEGER), {_NAV_ERR}
+FROM generate_series(0, {N_HOSTS - 1}) h(i)
 """
 
 ORACLES["metadata_envelope"] = (

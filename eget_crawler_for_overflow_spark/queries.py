@@ -147,19 +147,54 @@ def q_extract_only_main_off(spark, sf_dir):
     )
 
 
-def q_extract_tag_filters(spark, sf_dir):
-    """Scrape-options surface: excludeTags / includeTags (request.py:22-23;
-    accepted-but-unread in the reference — implemented here with natural
-    semantics: exclude decomposes, include restricts to top-most matches)."""
-    from .functions.extract import make_scrape_udf
+def q_scrape_requests(spark, sf_dir):
+    """Batch POST /scrape (api/v1/endpoints/scraper.py:21-64): one request
+    row per page with PER-ROW options (models/request.py:18-34), plus one
+    guaranteed-miss request per host exercising the reference error
+    envelope (scraper.py:773-797). Absorbs the former ``extract_tag_filters``
+    row: includeTags=['h1','h2'] when i%7==0, excludeTags=['pre','ul',
+    'table'] when i%7==3 — now through the per-row engine path;
+    onlyMainContent=False when i%7==1, includeRawHtml when i%3==0,
+    includeScreenshot when i%5==0 (always-null screenshot + warning: a
+    batch engine has no browser, matching the reference's failed-capture
+    shape, scraper.py:451-459). ``html_inc`` projects the cleaned-HTML
+    serialization for the includeTags subset (closed-form; the full
+    serializer contract is pytest-covered in test_scrape_batch.py)."""
+    from .operators.scrape import scrape_batch
 
-    ex = make_scrape_udf(exclude_tags=["pre", "ul", "table"])
-    inc = make_scrape_udf(include_tags=["h1", "h2"])
     p = _pages(spark, sf_dir)
-    return p.select(
+    _, n_hosts = pm.sizing(sf_dir)
+    i = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    req = p.select(
         "url",
-        ex(F.col("html")).alias("md_exclude"),
-        inc(F.col("html")).alias("md_include"),
+        (i % 7 != 1).alias("only_main_content"),
+        F.when(i % 7 == 0, F.array(F.lit("h1"), F.lit("h2"))).alias(
+            "include_tags"
+        ),
+        F.when(
+            i % 7 == 3, F.array(F.lit("pre"), F.lit("ul"), F.lit("table"))
+        ).alias("exclude_tags"),
+        (i % 3 == 0).alias("include_raw_html"),
+        (i % 5 == 0).alias("include_screenshot"),
+    )
+    miss = spark.range(n_hosts).select(
+        F.concat(
+            F.lit("https://host"), F.col("id"), F.lit(".example/nav")
+        ).alias("url")
+    )
+    out = scrape_batch(req.unionByName(miss, allowMissingColumns=True), p)
+    # try_cast: miss rows have no /p/<id> segment (ANSI cast of '' throws)
+    oi = F.regexp_extract("url", r"/p/(\d+)$", 1).try_cast("long")
+    return out.select(
+        "url",
+        "success",
+        "markdown",
+        F.when(oi % 7 == 0, F.col("html")).alias("html_inc"),
+        F.col("raw_html").isNotNull().alias("has_raw"),
+        F.col("screenshot").isNotNull().alias("has_screenshot"),
+        "warning",
+        "status_code",
+        "error",
     )
 
 
@@ -923,7 +958,7 @@ QUERIES = {
     "structured_og": q_structured_og,
     "metadata_extract": q_metadata_extract,
     "extract_only_main_off": q_extract_only_main_off,
-    "extract_tag_filters": q_extract_tag_filters,
+    "scrape_requests": q_scrape_requests,
     "metadata_envelope": q_metadata_envelope,
     "link_explode": q_link_explode,
     "url_normalize": q_url_normalize,
