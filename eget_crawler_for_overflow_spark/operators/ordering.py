@@ -18,6 +18,7 @@ equal keys across partitions).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -82,6 +83,17 @@ def assign_seq_counted(
         return one.mapInPandas(add_seq_single, out_schema), n
     if num_partitions is None:
         num_partitions = max(2, spark.sparkContext.defaultParallelism)
+    # Pin the input BEFORE range partitioning: repartitionByRange runs a
+    # hidden SAMPLING job over its child, which would otherwise re-execute
+    # the caller's whole upstream pipeline (in the crawl loop: the dedup
+    # agg + seen anti-join) a second time per call. Trades one wave-sized
+    # sequential write for a full upstream recompute — ~3-6% off the
+    # forced-range-path sf0.1 crawl (A/B in BASELINE.md round-6, identical
+    # output), and strictly safer at design scale where the upstream is a
+    # 10^10-row anti-join a sampling pass must never re-run.
+    # EGET_SEQ_INPUT_PIN=0 restores the old shape for diagnosis.
+    if os.environ.get("EGET_SEQ_INPUT_PIN", "1") != "0":
+        df = df.localCheckpoint(eager=True)
     ranged = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)

@@ -257,3 +257,44 @@ def test_requests_broadcast_pages_never_shuffled(spark, sf001):
     out = scrape_batch(pages.select("url").limit(50), pages)
     plan = plan_text(out)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_scrape_batch_bucketed_pages_no_exchange(spark, sf001):
+    """100 TB shape for huge request sets: broadcast_requests=False over a
+    url-bucketed pages table must read pages straight from its buckets —
+    exactly one Exchange (the requests side), never a pages shuffle
+    (the same storage-partitioned shape as the crawl fetch join)."""
+    import re as _re
+
+    from eget_crawler_for_overflow_spark.plans.explain import plan_text
+
+    pages = load_pages(spark, sf001)
+    tbl = "pages_bucketed_scrape_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        pages.select("url", "html")
+        .repartition(8, F.col("url"))
+        .write.bucketBy(8, "url")
+        .sortBy("url")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    req = spark.range(200).select(
+        F.concat(F.lit("https://host0.example/p/"), F.col("id")).alias("url")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = scrape_batch(req, spark.table(tbl), broadcast_requests=False)
+        txt = plan_text(out)
+        assert "Bucketed: true" in txt, txt
+        shuffles = _re.findall(r"\(\d+\) Exchange\b", txt)
+        assert len(shuffles) == 1, txt
+        # join semantics intact: in-corpus urls succeed, others error
+        rows = out.collect()
+        ok = [r for r in rows if r.success]
+        assert ok and all(r.status_code == 200 for r in ok)
+        assert any(r.status_code == 500 for r in rows if not r.success)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
