@@ -596,6 +596,54 @@ def _run_crawl(
         # is only scanned, never shuffled), and recover fetch-misses with
         # an anti-join against the url column (auto-broadcast at this
         # scale; bucketed SPJ on a cluster).
+        def _extract_select(src: DataFrame) -> DataFrame:
+            expand = F.col("depth") < F.lit(cfg.max_depth)
+            return (
+                src.withColumn(
+                    "e",
+                    F.when(
+                        F.col("html").isNotNull(),
+                        bundle_udf(F.col("html"), F.col("url")),
+                    ),
+                )
+                .withColumn(
+                    "links",
+                    F.when(expand, F.col("e.links")).otherwise(
+                        F.array().cast("array<string>")
+                    ),
+                )
+                .withColumn("links", F.coalesce(F.col("links"), F.array()))
+                .withColumn(
+                    "status",
+                    F.when(
+                        F.col("html").isNotNull(), F.lit("extracted")
+                    ).otherwise(F.lit("missing")),
+                )
+                .withColumn("fetch_generation", F.lit(g))
+                .select(
+                    "url",
+                    "url_hash",
+                    "host",
+                    "depth",
+                    "parent_url",
+                    "enqueue_seq",
+                    "generation",
+                    "fetch_generation",
+                    "status",
+                    F.col("e.markdown").alias("markdown"),
+                    F.col("e.title").alias("title"),
+                    F.col("e.description").alias("description"),
+                    F.col("e.language").alias("language"),
+                    F.col("e.metadata").alias("metadata"),
+                    F.col("e.open_graph").alias("open_graph"),
+                    F.col("e.twitter_card").alias("twitter_card"),
+                    F.col("e.meta_data").alias("meta_data"),
+                    F.col("e.json_ld").alias("json_ld"),
+                    "links",
+                )
+            )
+
+        ext = None
         if n_fetchable <= cfg.broadcast_fetch_threshold:
             hits = pages.select("url", "html").join(
                 F.broadcast(eligible), on="url", how="inner"
@@ -611,72 +659,83 @@ def _run_crawl(
                 hits = hits.coalesce(
                     max(2, spark.sparkContext.defaultParallelism)
                 )
-            hits = hits.localCheckpoint(eager=True)  # one pages scan/gen
-            t0 = _t("fetch-hits", t0)
-            missed = eligible.join(
-                F.broadcast(hits.select("url")), on="url", how="left_anti"
-            ).withColumn("html", F.lit(None).cast("binary"))
-            fetched = hits.unionByName(missed)
+            if os.environ.get("EGET_CAPTURE_FETCH_PLAN") == "1":
+                from ..plans.explain import plan_text
+
+                FETCH_PLAN_CAPTURE.append(plan_text(hits))
+            if os.environ.get("EGET_HITS_PIN", "0") == "1":
+                # pre-r6 shape (diagnosis only): pin the raw hits (url,
+                # html) first, then extract+pin — TWO wave-sized
+                # materializations per generation, one of them the full
+                # HTML payload
+                hits = hits.localCheckpoint(eager=True)
+                t0 = _t("fetch-hits", t0)
+                missed = eligible.join(
+                    F.broadcast(hits.select("url")), on="url", how="left_anti"
+                ).withColumn("html", F.lit(None).cast("binary"))
+                ext = _extract_select(
+                    hits.unionByName(missed)
+                ).localCheckpoint(eager=True)
+                t0 = _t("extract", t0)
+            else:
+                # r6 shape: extract STRAIGHT off the broadcast join and pin
+                # only the extraction output — the wave's raw HTML is never
+                # materialized (it exists only inside the Arrow batches of
+                # this one pass), and pages is still scanned exactly once
+                # per generation. Fetch-misses are recovered from the
+                # PINNED extraction output (urls only) instead of a pinned
+                # hits frame, with the reference miss envelope (null
+                # bundle, empty links, status='missing') built as literals
+                # — identical output to the pre-r6 shape (engine A/B test).
+                ext_h = _extract_select(hits).localCheckpoint(eager=True)
+                t0 = _t("fetch-extract", t0)
+                missed = eligible.join(
+                    F.broadcast(ext_h.select("url")), on="url", how="left_anti"
+                )
+                _null_e = {
+                    "markdown": "string",
+                    "title": "string",
+                    "description": "string",
+                    "language": "string",
+                    "metadata": "map<string,string>",
+                    "open_graph": "map<string,string>",
+                    "twitter_card": "map<string,string>",
+                    "meta_data": "map<string,string>",
+                    "json_ld": "array<string>",
+                }
+                ext_m = missed.select(
+                    "url",
+                    "url_hash",
+                    "host",
+                    "depth",
+                    "parent_url",
+                    "enqueue_seq",
+                    "generation",
+                    F.lit(g).alias("fetch_generation"),
+                    F.lit("missing").alias("status"),
+                    *[
+                        F.lit(None).cast(t).alias(c)
+                        for c, t in _null_e.items()
+                    ],
+                    F.array().cast("array<string>").alias("links"),
+                )
+                # no pin: ext_m is a cheap broadcast anti-join over pinned
+                # parents; consumers re-run it narrowly
+                ext = ext_h.unionByName(ext_m)
         else:
             fetched = eligible.join(
                 pages.select("url", "html"), on="url", how="left"
             )
-        if os.environ.get("EGET_CAPTURE_FETCH_PLAN") == "1":
-            # debug/test hook: record the physical plan the ENGINE emits
-            # for this generation's fetch join (plan tests assert the
-            # bucketed no-exchange shape on the real code path, not a
-            # hand-rebuilt join)
-            from ..plans.explain import plan_text
+            if os.environ.get("EGET_CAPTURE_FETCH_PLAN") == "1":
+                # debug/test hook: record the physical plan the ENGINE
+                # emits for this generation's fetch join (plan tests assert
+                # the bucketed no-exchange shape on the real code path, not
+                # a hand-rebuilt join)
+                from ..plans.explain import plan_text
 
-            FETCH_PLAN_CAPTURE.append(plan_text(fetched))
-
-        expand = F.col("depth") < F.lit(cfg.max_depth)
-        ext = (
-            fetched.withColumn(
-                "e",
-                F.when(
-                    F.col("html").isNotNull(),
-                    bundle_udf(F.col("html"), F.col("url")),
-                ),
-            )
-            .withColumn(
-                "links",
-                F.when(expand, F.col("e.links")).otherwise(
-                    F.array().cast("array<string>")
-                ),
-            )
-            .withColumn("links", F.coalesce(F.col("links"), F.array()))
-            .withColumn(
-                "status",
-                F.when(F.col("html").isNotNull(), F.lit("extracted")).otherwise(
-                    F.lit("missing")
-                ),
-            )
-            .withColumn("fetch_generation", F.lit(g))
-            .select(
-                "url",
-                "url_hash",
-                "host",
-                "depth",
-                "parent_url",
-                "enqueue_seq",
-                "generation",
-                "fetch_generation",
-                "status",
-                F.col("e.markdown").alias("markdown"),
-                F.col("e.title").alias("title"),
-                F.col("e.description").alias("description"),
-                F.col("e.language").alias("language"),
-                F.col("e.metadata").alias("metadata"),
-                F.col("e.open_graph").alias("open_graph"),
-                F.col("e.twitter_card").alias("twitter_card"),
-                F.col("e.meta_data").alias("meta_data"),
-                F.col("e.json_ld").alias("json_ld"),
-                "links",
-            )
-        )
-        ext = ext.localCheckpoint(eager=True)
-        t0 = _t("extract", t0)
+                FETCH_PLAN_CAPTURE.append(plan_text(fetched))
+            ext = _extract_select(fetched).localCheckpoint(eager=True)
+            t0 = _t("extract", t0)
         extracted_gens.append(ext)
         n_generations += 1
 

@@ -745,3 +745,32 @@ def test_assign_seq_single_partition_matches_two_pass(spark):
     rb = sorted((r["k"], r["v"], r["enqueue_seq"]) for r in b.collect())
     assert ra == rb
     assert b.rdd.getNumPartitions() == 1
+
+
+def test_fetch_extract_single_pin_identical(spark, pages, monkeypatch):
+    """r6 fetch shape: extracting straight off the broadcast join (pin only
+    the extraction output; misses recovered from it) must produce the SAME
+    extracted table — every column, incl. the miss envelope — as the pre-r6
+    two-pin shape (EGET_HITS_PIN=1)."""
+    seeds = seeds_host0()
+    got = {}
+    for pin in ("0", "1"):
+        monkeypatch.setenv("EGET_HITS_PIN", pin)
+        cfg = CrawlConfig(max_depth=4, max_pages=None, same_domain=False)
+        res = run_crawl(spark, pages, seeds, cfg)
+        got[pin] = sorted(
+            (
+                r["url"],
+                r["depth"],
+                r["enqueue_seq"],
+                r["fetch_generation"],
+                r["status"],
+                r["markdown"],
+                r["title"],
+                tuple(r["links"]),
+            )
+            for r in res.extracted.collect()
+        )
+    monkeypatch.delenv("EGET_HITS_PIN")
+    assert got["0"] == got["1"]
+    assert any(s == "missing" for (_, _, _, _, s, *_rest) in got["0"])
