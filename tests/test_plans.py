@@ -249,3 +249,43 @@ def test_fetch_join_over_threshold_through_engine(spark, tmp_path, monkeypatch):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         frontier.FETCH_PLAN_CAPTURE.clear()
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_fetch_join_broadcast_branch_through_engine(spark, monkeypatch):
+    """r6 single-pin fetch: the engine's DEFAULT (broadcast) fetch branch,
+    plan captured from run_crawl itself — the wave must be the broadcast
+    build side and pages must reach the join as a plain scan with no
+    shuffle Exchange anywhere (the r6 shape extracts straight off this
+    join, so this is also the extraction input's plan)."""
+    import re as _re
+
+    from eget_crawler_for_overflow_spark import pagemodel as pm
+    from eget_crawler_for_overflow_spark.operators import frontier
+    from eget_crawler_for_overflow_spark.operators.frontier import (
+        CrawlConfig,
+        run_crawl,
+    )
+
+    pages = load_pages(spark, SF)
+    monkeypatch.setenv("EGET_CAPTURE_FETCH_PLAN", "1")
+    frontier.FETCH_PLAN_CAPTURE.clear()
+    try:
+        seeds = [pm.url_of(i, 8) for i in (0, 2, 4)]
+        cfg = CrawlConfig(max_depth=2, max_pages=None)
+        res = run_crawl(spark, pages, seeds, cfg)
+        assert res.extracted.filter(F.col("status") == "extracted").count() > 0
+        plans = list(frontier.FETCH_PLAN_CAPTURE)
+        assert len(plans) >= 3  # one per generation
+        for txt in plans:
+            assert "BroadcastHashJoin" in txt, txt
+            shuffles = [
+                ln
+                for ln in txt.splitlines()
+                if _re.search(
+                    r"\bExchange hashpartitioning|\bExchange rangepartitioning",
+                    ln,
+                )
+            ]
+            assert not shuffles, shuffles
+    finally:
+        frontier.FETCH_PLAN_CAPTURE.clear()

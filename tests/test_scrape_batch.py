@@ -34,6 +34,23 @@ def _requests(spark, pages, **opts):
 # ---------------------------------------------------------------------------
 
 
+def _merged_children(n):
+    """Children with consecutive text nodes coalesced (parsers may split
+    text at entity boundaries; the split is not semantically meaningful)."""
+    out = []
+    for c in n.children:
+        if c.is_text:
+            if not c.text_content:
+                continue
+            if out and isinstance(out[-1], str):
+                out[-1] += c.text_content
+            else:
+                out.append(c.text_content)
+        else:
+            out.append(c)
+    return out
+
+
 def _tree_equal(a, b) -> bool:
     if a.is_text != b.is_text:
         return False
@@ -41,9 +58,16 @@ def _tree_equal(a, b) -> bool:
         return a.text_content == b.text_content
     if a.tag != b.tag or dict(a.attrs) != dict(b.attrs):
         return False
-    ka = [c for c in a.children if not c.is_text or c.text_content]
-    kb = [c for c in b.children if not c.is_text or c.text_content]
-    return len(ka) == len(kb) and all(_tree_equal(x, y) for x, y in zip(ka, kb))
+    ka, kb = _merged_children(a), _merged_children(b)
+    if len(ka) != len(kb):
+        return False
+    for x, y in zip(ka, kb):
+        if isinstance(x, str) or isinstance(y, str):
+            if x != y:
+                return False
+        elif not _tree_equal(x, y):
+            return False
+    return True
 
 
 def test_to_html_roundtrip_on_corpus(spark, sf001):
@@ -298,3 +322,77 @@ def test_scrape_batch_bucketed_pages_no_exchange(spark, sf001):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# ---------------------------------------------------------------------------
+# fuzz: hostile inputs must always yield an envelope, never a crash
+# ---------------------------------------------------------------------------
+
+
+def test_scrape_one_never_raises_on_hostile_inputs():
+    """Driver-side fuzz of the per-row worker: arbitrary tag soup, raw
+    binary, and hostile option values must produce a success or error
+    envelope — _scrape_one is the reference's per-scrape try/except
+    (scraper.py:773) and a raise here would kill a whole Arrow batch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from eget_crawler_for_overflow_spark.functions.extract import (
+        SCRAPE_DATA_SCHEMA,
+        _scrape_one,
+    )
+
+    names = set(f.name for f in SCRAPE_DATA_SCHEMA.fields)
+
+    payload = st.one_of(
+        st.binary(max_size=400),
+        st.text(max_size=400).map(lambda s: s.encode("utf-8", "ignore")),
+        st.none(),
+    )
+    tags = st.one_of(
+        st.none(), st.lists(st.sampled_from(["h1", "pre", "", "  ", "ZZZ"]),
+                            max_size=3)
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(payload, tags, tags, st.booleans(), st.booleans(),
+           st.one_of(st.none(), st.booleans()))
+    def run(html, inc, exc, raw, shot, om):
+        r = _scrape_one(html, "https://h.example/x", om, inc, exc, raw, shot)
+        assert set(r.keys()) == names
+        assert r["success"] in (True, False)
+        if r["success"]:
+            assert r["status_code"] == 200 and r["markdown"] is not None
+        else:
+            assert r["status_code"] == 500 and r["error"] == r["warning"]
+
+    run()
+
+
+def test_scrape_roundtrip_serializer_on_tag_soup():
+    """to_html(parse(x)) must reparse to an equal tree for arbitrary tag
+    soup (same corpus shape as the parser fuzz suite)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    TAGS = ["div", "p", "a", "main", "span", "ul", "li", "h1", "pre",
+            "code", "table", "tr", "td", "br", "img"]
+    WORDS = ["alpha", "a b", "&amp;", "<", ">", '"q"', "x&y"]
+    piece = st.one_of(
+        st.sampled_from(WORDS),
+        st.sampled_from(TAGS).map(lambda t: f"<{t}>"),
+        st.sampled_from(TAGS).map(lambda t: f"</{t}>"),
+        st.sampled_from(TAGS).map(lambda t: f'<{t} href="/p?a=1&b=2" alt="x<y">'),
+    )
+    soup = st.lists(piece, min_size=0, max_size=30).map("".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(soup)
+    def run(html):
+        t1 = parse_html(html)
+        s1 = to_html(t1)
+        t2 = parse_html(s1)
+        assert _tree_equal(t1, t2), (html, s1)
+        assert to_html(t2) == s1
+
+    run()
