@@ -39,7 +39,11 @@ _LIST_RE = re.compile(r"^\s*[-*]\s", re.MULTILINE)
 
 
 def _create_chunk(
-    content: str, chunk_type: str = "text", code_language: str | None = None
+    content: str,
+    chunk_type: str = "text",
+    code_language: str | None = None,
+    min_words: int = _MIN_WORDS,
+    max_words: int = _MAX_WORDS,
 ) -> dict | None:
     if not content:
         return None
@@ -52,9 +56,9 @@ def _create_chunk(
     needs_merge = False
     needs_split = False
     if not is_code:  # header/preamble chunks never occur (placeholder bug)
-        if word_count < _MIN_WORDS:
+        if word_count < min_words:
             needs_merge = True
-        elif word_count > _MAX_WORDS:
+        elif word_count > max_words:
             needs_split = True
     if chunk_type == "text":
         if content.startswith("#"):
@@ -87,7 +91,15 @@ def _create_chunk(
     }
 
 
-def chunk_markdown(text: str) -> list[dict]:
+def chunk_markdown(
+    text: str,
+    min_words: int = _MIN_WORDS,
+    max_words: int = _MAX_WORDS,
+) -> list[dict]:
+    """``min_words``/``max_words`` mirror the per-request
+    ``SemanticChunker(max_chunk_size, min_chunk_size)`` knobs
+    (chunk_service.py:148-152); defaults keep the module-constant
+    behavior every existing caller pins."""
     if text is None:
         return []
     chunks: list[dict] = []
@@ -98,7 +110,7 @@ def chunk_markdown(text: str) -> list[dict]:
     code_language: str | None = None
 
     def emit(content: str, ctype: str = "text", lang: str | None = None) -> None:
-        c = _create_chunk(content, ctype, lang)
+        c = _create_chunk(content, ctype, lang, min_words, max_words)
         if c is not None:
             chunks.append(c)
 

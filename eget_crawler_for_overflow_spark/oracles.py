@@ -983,17 +983,30 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
 
 _SC_SIZE, _SC_OVERLAP, _SC_MINCH = 24, 8, 12
 
-ORACLES["sentence_chunks"] = f"""
+# Batch /chunk endpoint replay (absorbs the former ``sentence_chunks``
+# row — its 24/8 config is the m==0 request class). The sentence-chunker
+# machinery is the proven C2 closed-form recursion, now parameterized
+# per-doc (prm: size_p/ov_p from the request mix); the semantic rows are
+# the endpoint's degenerate one-line outcomes predicted directly
+# (chunk_batch.py module docstring), and misses get the failed-scrape
+# envelope (chunk_service.py:81-88).
+ORACLES["chunk_requests"] = f"""
 WITH RECURSIVE
-wds AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
-               len(string_split_regex(trim(text), '\\s+')) AS n
-        FROM documents),
+d AS (SELECT doc_id, 'https://docs.example/' || doc_id AS url,
+             doc_id % 6 AS m,
+             string_split_regex(trim(text), '\\s+') AS w,
+             len(string_split_regex(trim(text), '\\s+')) AS n
+      FROM documents),
+prm AS (SELECT doc_id,
+               CASE m WHEN 0 THEN 24 WHEN 1 THEN 32 ELSE 512 END AS size_p,
+               CASE m WHEN 0 THEN 8 ELSE 50 END AS ov_p
+        FROM d WHERE m <= 2),
 sents AS (
   SELECT doc_id, k, array_to_string(w[off_ + 1 : off_ + l_], ' ') || '.' AS s
   FROM (SELECT doc_id, w, n, g.k,
           (g.k // 7) * 41 + ([0,1,10,12,19,30,33])[g.k % 7 + 1] AS off_,
           ([1,9,2,7,11,3,8])[g.k % 7 + 1] AS l_
-        FROM wds, generate_series(0, 31) g(k))
+        FROM d, generate_series(0, 31) g(k))
   WHERE off_ < n),
 sl AS (SELECT doc_id, s, length(s) AS c,
               CAST(len(string_split_regex(s, '\\s+')) AS BIGINT) AS tk,
@@ -1001,15 +1014,18 @@ sl AS (SELECT doc_id, s, length(s) AS c,
               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k) AS idx,
               COUNT(*) OVER (PARTITION BY doc_id) AS ns
        FROM sents),
+txt AS (SELECT doc_id, string_agg(s, ' ' ORDER BY idx) AS text2,
+               SUM(tk) AS toks
+        FROM sl GROUP BY doc_id),
 mend AS (
   SELECT a.doc_id, a.idx AS s, a.ns,
     COALESCE((SELECT MIN(b.idx) FROM sl b WHERE b.doc_id = a.doc_id
               AND b.idx >= a.idx
               AND b.cc - (a.cc - a.c) + (b.idx - a.idx) >= {_SC_MINCH}),
              a.ns) AS e
-  FROM sl a),
+  FROM sl a JOIN prm USING (doc_id)),
 mchain(doc_id, uno, s) AS (
-  SELECT doc_id, 0, 1 FROM (SELECT DISTINCT doc_id FROM sl)
+  SELECT doc_id, 0, 1 FROM prm
   UNION ALL
   SELECT m.doc_id, m.uno + 1, me.e + 1
   FROM mchain m JOIN mend me ON me.doc_id = m.doc_id AND me.s = m.s
@@ -1028,26 +1044,62 @@ units AS (
 pend AS (
   SELECT a.doc_id, a.idx AS s, a.nu, (a.t - a.toks) AS base,
     COALESCE((SELECT MAX(b.idx) FROM units b WHERE b.doc_id = a.doc_id
-              AND b.idx >= a.idx AND b.t - (a.t - a.toks) <= {_SC_SIZE}),
+              AND b.idx >= a.idx AND b.t - (a.t - a.toks) <= p.size_p),
              a.idx) AS e
-  FROM units a),
+  FROM units a JOIN prm p USING (doc_id)),
 pnext AS (
   SELECT pe.doc_id, pe.s, pe.e, pe.nu, pe.base, eu.t AS te,
     COALESCE((SELECT MIN(j.idx) FROM units j WHERE j.doc_id = pe.doc_id
               AND j.idx > pe.s AND j.idx <= pe.e
-              AND eu.t - (j.t - j.toks) <= {_SC_OVERLAP}), pe.e + 1) AS s2
-  FROM pend pe JOIN units eu ON eu.doc_id = pe.doc_id AND eu.idx = pe.e),
+              AND eu.t - (j.t - j.toks) <= p.ov_p), pe.e + 1) AS s2
+  FROM pend pe JOIN units eu ON eu.doc_id = pe.doc_id AND eu.idx = pe.e
+  JOIN prm p ON p.doc_id = pe.doc_id),
 pchain(doc_id, pos, s) AS (
   SELECT doc_id, 0, 1 FROM (SELECT DISTINCT doc_id FROM units)
   UNION ALL
   SELECT p.doc_id, p.pos + 1, pn.s2
   FROM pchain p JOIN pnext pn ON pn.doc_id = p.doc_id AND pn.s = p.s
-  WHERE pn.e < pn.nu)
-SELECT p.doc_id, CAST(p.pos AS INT) AS position,
-       CAST(pn.te - pn.base AS INT) AS token_count,
-       (SELECT string_agg(c.content, ' ' ORDER BY c.idx) FROM units c
-         WHERE c.doc_id = p.doc_id AND c.idx BETWEEN p.s AND pn.e) AS content
-FROM pchain p JOIN pnext pn ON pn.doc_id = p.doc_id AND pn.s = p.s
+  WHERE pn.e < pn.nu),
+sent_chunks AS (
+  SELECT p.doc_id, CAST(p.pos AS INT) AS position,
+         CAST(pn.te - pn.base AS INT) AS word_count,
+         (SELECT string_agg(c.content, ' ' ORDER BY c.idx) FROM units c
+           WHERE c.doc_id = p.doc_id AND c.idx BETWEEN p.s AND pn.e) AS content
+  FROM pchain p JOIN pnext pn ON pn.doc_id = p.doc_id AND pn.s = p.s),
+sent_stats AS (
+  SELECT doc_id, COUNT(*) AS total_chunks,
+         CAST(SUM(word_count) AS DOUBLE) / COUNT(*) AS avg_sz
+  FROM sent_chunks GROUP BY doc_id)
+SELECT d.url, TRUE AS success, CAST(NULL AS VARCHAR) AS error,
+       'sentence' AS chunker_type,
+       CAST(ss.total_chunks AS INT) AS total_chunks,
+       ss.avg_sz AS avg_chunk_size, t.text2 AS markdown,
+       sc.position, sc.content, 'text' AS chunk_type, sc.word_count,
+       CAST(NULL AS BOOLEAN) AS needs_merge,
+       CAST(NULL AS BOOLEAN) AS needs_split
+FROM sent_chunks sc JOIN d USING (doc_id) JOIN txt t USING (doc_id)
+JOIN sent_stats ss USING (doc_id)
+UNION ALL
+SELECT d.url, TRUE, NULL,
+       CASE d.m WHEN 5 THEN 'bogus' ELSE 'semantic' END,
+       0, 0.0, t.text2,
+       NULL, NULL, NULL, NULL, NULL, NULL
+FROM d JOIN txt t USING (doc_id) WHERE d.m IN (3, 5)
+UNION ALL
+SELECT d.url, TRUE, NULL, 'semantic', 1,
+       CAST(4 + t.toks AS DOUBLE),
+       'Intro ' || d.doc_id || '. ## Sec ' || t.text2,
+       0, 'Intro ' || d.doc_id || '. ## Sec ' || t.text2, 'text',
+       CAST(4 + t.toks AS INT),
+       CASE WHEN d.doc_id % 12 = 4 THEN 4 + t.toks < 200
+            ELSE 4 + t.toks < 10 END,
+       CASE WHEN d.doc_id % 12 = 4 THEN 4 + t.toks > 1500
+            ELSE 4 + t.toks > 50 END
+FROM d JOIN txt t USING (doc_id) WHERE d.m = 4
+UNION ALL
+SELECT d.url || '-missing', FALSE, 'Failed to scrape URL', NULL,
+       0, 0.0, '', NULL, NULL, NULL, NULL, NULL, NULL
+FROM d WHERE d.doc_id % 7 = 0
 """
 
 # ---------------------------------------------------------------------------

@@ -628,14 +628,9 @@ SENT_OFFS = (0, 1, 10, 12, 19, 30, 33)  # prefix sums of SENT_LENS
 SC_SIZE, SC_OVERLAP = 24, 8
 
 
-def q_sentence_chunks(spark, sf_dir):
-    """C2, value-exact: sentence chunker (pinned Chonkie-SentenceChunker
-    contract, chunker.py:sentence_chunks) over deterministically
-    sentence-structured document texts. The DuckDB oracle replays the
-    merge/pack/overlap recursions closed-form."""
-    from .operators.chunker import make_sentence_chunk_udf
-
-    d = _docs(spark, sf_dir)
+def _sentence_text2() -> F.Column:
+    """Deterministic sentence-structured text over ``text`` (the C2
+    synthesis shared by q_sentence_chunks and q_chunk_requests)."""
     w = F.split(F.trim(F.col("text")), r"\s+")
     offs = F.array(*[F.lit(x) for x in SENT_OFFS])
     lens = F.array(*[F.lit(x) for x in SENT_LENS])
@@ -650,7 +645,20 @@ def q_sentence_chunks(spark, sf_dir):
             F.slice(w, off(k) + 1, F.element_at(lens, (k % 7) + 1)), " "
         ),
     )
-    text2 = F.concat(F.array_join(sents, ". "), F.lit("."))
+    return F.concat(F.array_join(sents, ". "), F.lit("."))
+
+
+def q_sentence_chunks(spark, sf_dir):
+    """C2, value-exact: sentence chunker (pinned Chonkie-SentenceChunker
+    contract, chunker.py:sentence_chunks) over deterministically
+    sentence-structured document texts. The DuckDB oracle replays the
+    merge/pack/overlap recursions closed-form. (Driver registry slot
+    absorbed by ``chunk_requests``, whose m==0 rows run this exact
+    config through the batch /chunk endpoint path.)"""
+    from .operators.chunker import make_sentence_chunk_udf
+
+    d = _docs(spark, sf_dir)
+    text2 = _sentence_text2()
     udf = make_sentence_chunk_udf(chunk_size=SC_SIZE, overlap=SC_OVERLAP)
     ch = d.select(
         "doc_id", F.posexplode(udf(text2)).alias("pos", "c")
@@ -661,6 +669,82 @@ def q_sentence_chunks(spark, sf_dir):
         F.col("c.token_count").alias("token_count"),
         F.col("c.content").alias("content"),
     )
+
+
+def q_chunk_requests(spark, sf_dir):
+    """Batch POST /chunk (api/v1/endpoints/chunker.py:9-10) through the
+    full endpoint pipeline — scrape → _clean_markdown → per-row chunker
+    dispatch → ChunkResponse envelope (chunk_service.py:66-215) — with
+    PER-ROW knobs (models/chunk_request.py:5-14). One request per
+    document over a synthesized page corpus (html = <p>sentence-structured
+    text</p>, the C2 synthesis), request mix by doc_id % 6:
+
+    * 0: sentence, chunk_size=24 / overlap=8 — the absorbed
+      ``sentence_chunks`` config, now via the endpoint path;
+    * 1: sentence, chunk_size=32, overlap=0 — pins the service's
+      ``chunk_overlap or 50`` firing on ZERO (chunk_service.py:103);
+    * 2: sentence, both knobs null — pins ``max_chunk_size or 512``;
+    * 3: semantic, defaults — the cleaned one-line doc has no header
+      marker, so the reference emits ZERO chunks (eternal preamble;
+      chunk_batch.py module docstring) — success=true, empty envelope;
+    * 4: semantic over html with an inline <h2> — exactly ONE whole-line
+      text chunk; needs_merge/needs_split flags driven by per-row
+      min/max (null→1500/200 service fallbacks when doc_id%12==4,
+      explicit 50/10 when %12==10);
+    * 5: chunker_type='bogus' — the service dispatches semantic but the
+      stats echo the raw string (chunk_service.py:97,207), pinned.
+
+    Every doc_id%7==0 adds a corpus-miss request (url||'-missing')
+    exercising the failed-scrape envelope (chunk_service.py:81-88)."""
+    from .operators.chunk_batch import chunk_batch, chunk_response_rows
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.concat(F.lit("https://docs.example/"), F.col("doc_id")).alias("url"),
+        (F.col("doc_id") % 6).alias("m"),
+        _sentence_text2().alias("text2"),
+    )
+    pages = d.select(
+        "url",
+        F.when(
+            F.col("m") == 4,
+            F.concat(
+                F.lit("<p>Intro "),
+                F.col("doc_id"),
+                F.lit(".</p><h2>Sec</h2><p>"),
+                F.col("text2"),
+                F.lit("</p>"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("<p>"), F.col("text2"), F.lit("</p>")))
+        .cast("binary")
+        .alias("html"),
+    )
+    m = F.col("m")
+    hits = d.select(
+        "url",
+        F.when(m == 5, F.lit("bogus"))
+        .when(m <= 2, F.lit("sentence"))
+        .otherwise(F.lit("semantic"))
+        .alias("chunker_type"),
+        F.when(m == 0, F.lit(24))
+        .when(m == 1, F.lit(32))
+        .when((m == 4) & (F.col("doc_id") % 12 == 10), F.lit(50))
+        .alias("max_chunk_size"),
+        F.when((m == 4) & (F.col("doc_id") % 12 == 10), F.lit(10)).alias(
+            "min_chunk_size"
+        ),
+        F.when(m == 0, F.lit(8)).when(m == 1, F.lit(0)).alias("chunk_overlap"),
+    )
+    misses = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.col("url"), F.lit("-missing")).alias("url"),
+        F.lit("sentence").alias("chunker_type"),
+        F.lit(None).cast("int").alias("max_chunk_size"),
+        F.lit(None).cast("int").alias("min_chunk_size"),
+        F.lit(None).cast("int").alias("chunk_overlap"),
+    )
+    requests = hits.unionByName(misses)
+    return chunk_response_rows(chunk_batch(requests, pages))
 
 
 def q_training_pipeline(spark, sf_dir):
@@ -984,7 +1068,7 @@ QUERIES = {
     "md_clean": q_md_clean,
     "semantic_chunks": q_semantic_chunks,
     "chunk_positions": q_chunk_positions,
-    "sentence_chunks": q_sentence_chunks,
+    "chunk_requests": q_chunk_requests,
     "chunk_stats": q_chunk_stats,
     "training_pipeline": q_training_pipeline,
     "dedup_exact": q_dedup_exact,
