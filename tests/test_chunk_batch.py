@@ -139,3 +139,79 @@ def test_requests_broadcast_pages_never_shuffled(spark, sf001):
     out = chunk_batch(pages.select("url").limit(20), pages)
     plan = plan_text(out)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_chunk_batch_bucketed_pages_no_exchange(spark, sf001):
+    """100 TB shape for huge request sets: broadcast_requests=False over a
+    url-bucketed pages table must read pages straight from its buckets —
+    exactly one Exchange (the requests side), never a pages shuffle (the
+    same storage-partitioned shape as the crawl fetch and scrape_batch)."""
+    import re as _re
+
+    from eget_crawler_for_overflow_spark.fixtures import load_pages
+    from eget_crawler_for_overflow_spark.plans.explain import plan_text
+
+    pages = load_pages(spark, sf001)
+    tbl = "pages_bucketed_chunk_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        pages.select("url", "html")
+        .repartition(8, F.col("url"))
+        .write.bucketBy(8, "url")
+        .sortBy("url")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    req = spark.range(100).select(
+        F.concat(F.lit("https://host0.example/p/"), F.col("id")).alias("url"),
+        F.lit("sentence").alias("chunker_type"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = chunk_batch(req, spark.table(tbl), broadcast_requests=False)
+        txt = plan_text(out)
+        assert "Bucketed: true" in txt, txt
+        shuffles = _re.findall(r"\(\d+\) Exchange\b", txt)
+        assert len(shuffles) == 1, txt
+        rows = out.collect()
+        ok = [r for r in rows if r.success]
+        assert ok and all(r.total_chunks >= 1 for r in ok)
+        assert any(r.error == "Failed to scrape URL" for r in rows if not r.success)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_chunk_response_never_raises_on_hostile_inputs():
+    """Driver-side fuzz of the per-row worker: arbitrary tag soup, raw
+    binary, and hostile knob values must produce a success or error
+    envelope — a raise would kill a whole Arrow batch (the reference's
+    per-request try/except is chunk_service.py:68/210)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payload = st.one_of(
+        st.binary(max_size=400),
+        st.text(max_size=400).map(lambda s: s.encode("utf-8", "ignore")),
+        st.none(),
+    )
+    knob = st.one_of(st.none(), st.integers(min_value=-5, max_value=2000))
+    ctype = st.one_of(
+        st.none(), st.sampled_from(["semantic", "sentence", "", "ZZZ"])
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(payload, ctype, knob, knob, knob)
+    def run(html, ct, mx, mn, ov):
+        r = chunk_response(html, ct, mx, mn, ov)
+        assert r["success"] in (True, False)
+        if r["success"]:
+            assert r["total_chunks"] == len(r["chunks"])
+            assert r["error"] is None
+        else:
+            assert r["error"] == "Failed to scrape URL"
+        for c in r["chunks"]:
+            assert c["content"] and c["word_count"] >= 1
+
+    run()
