@@ -251,6 +251,42 @@ def chunk_batch(
     )
 
 
+def website_chunks(responses: DataFrame) -> DataFrame:
+    """Flatten ChunkResponse envelopes into the reference cookbook's
+    ``WebsiteChunk`` Kafka record (cookbook/flink_app_2/kafka_utils.py:
+    17-93 Avro schema; :231-247 field mapping) — the downstream RAG-feed
+    contract consumers of the /chunk endpoint actually stream.
+
+    Mapping notes (mirroring the cookbook's producer loop exactly):
+    failed or zero-chunk responses emit NOTHING (the loop iterates
+    ``result["chunks"]``); chunk_number is 1-based enumerate order
+    (== position + 1, list order is position order); content_type copies
+    metadata.type which equals the top-level chunk type in both chunkers;
+    chunk_id is the deterministic ``url#position`` (SURVEY.md §1.2 —
+    replaces uuid4); timestamp is the reference's ``processed_at`` server
+    wall-clock stamp, emitted as '' here so batch output stays
+    deterministic (stamp at send time, as the producer does)."""
+    ex = responses.filter(F.col("success") & (F.col("total_chunks") > 0)).select(
+        "url",
+        "total_chunks",
+        F.explode("chunks").alias("c"),
+    )
+    return ex.select(
+        F.concat_ws("#", F.col("url"), F.col("c.position")).alias("chunk_id"),
+        "url",
+        (F.col("c.position") + 1).alias("chunk_number"),
+        "total_chunks",
+        F.col("c.content").alias("chunk_content"),
+        F.col("c.type").alias("chunk_type"),
+        F.lit("").alias("timestamp"),
+        F.col("c.word_count").alias("word_count"),
+        F.col("c.position").alias("position"),
+        F.col("c.type").alias("content_type"),
+        F.col("c.heading").alias("heading"),
+        F.col("c.code_language").alias("code_language"),
+    )
+
+
 def chunk_response_rows(responses: DataFrame) -> DataFrame:
     """Explode the envelope into one row per chunk; zero-chunk and error
     envelopes survive as a single row with null chunk fields (the flat

@@ -215,3 +215,76 @@ def test_chunk_response_never_raises_on_hostile_inputs():
             assert c["content"] and c["word_count"] >= 1
 
     run()
+
+
+def test_website_chunks_record_mapping(spark):
+    """WebsiteChunk flattening mirrors the cookbook producer loop
+    (kafka_utils.py:231-247): 1-based chunk_number, total_chunks echoed
+    per record, content_type == chunk type, and failed/zero-chunk
+    responses emit nothing."""
+    pages = spark.createDataFrame(
+        [("https://a.example/1", bytearray(_HTML_PLAIN))], "url string, html binary"
+    )
+    req = spark.createDataFrame(
+        [
+            ("https://a.example/1", "sentence", 4),
+            ("https://a.example/1", "semantic", None),  # 0 chunks -> dropped
+            ("https://gone.example/x", "sentence", None),  # miss -> dropped
+        ],
+        "url string, chunker_type string, max_chunk_size int",
+    )
+    from eget_crawler_for_overflow_spark.operators.chunk_batch import (
+        website_chunks,
+    )
+
+    recs = website_chunks(chunk_batch(req, pages)).collect()
+    assert recs and all(r.url == "https://a.example/1" for r in recs)
+    n = recs[0].total_chunks
+    assert len(recs) == n
+    assert sorted(r.chunk_number for r in recs) == list(range(1, n + 1))
+    for r in recs:
+        assert r.chunk_id == f"{r.url}#{r.position}"
+        assert r.chunk_number == r.position + 1
+        assert r.content_type == r.chunk_type == "text"
+        assert r.word_count >= 1 and r.chunk_content
+        assert r.timestamp == ""
+
+
+def test_streaming_chunk_feed_matches_batch(spark, sf001, tmp_path):
+    """The cookbook RAG feed as one streaming query: pages stream →
+    chunk_response_udf → WebsiteChunk records, identical to the batch
+    operator over the same pages (stream_chunks.py)."""
+    from eget_crawler_for_overflow_spark.fixtures import load_pages
+    from eget_crawler_for_overflow_spark.streaming.stream_chunks import (
+        COOKBOOK_KNOBS,
+        chunk_stream,
+    )
+    from eget_crawler_for_overflow_spark.streaming.stream_extract import (
+        stream_pages,
+    )
+    from eget_crawler_for_overflow_spark.operators.chunk_batch import (
+        website_chunks,
+    )
+
+    pages = load_pages(spark, sf001)
+    src = str(tmp_path / "chunk_stream_src")
+    pages.limit(40).write.parquet(src)
+
+    q = (
+        chunk_stream(stream_pages(spark, src))
+        .writeStream.format("memory")
+        .queryName("chunk_feed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM chunk_feed")
+
+    req = pages.limit(40).select(
+        "url",
+        *[F.lit(v).alias(k) for k, v in COOKBOOK_KNOBS.items()],
+    )
+    batch = website_chunks(chunk_batch(req, pages.limit(40)))
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
