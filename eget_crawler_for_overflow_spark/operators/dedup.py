@@ -20,8 +20,13 @@ Scale notes per operator:
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -60,6 +65,77 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
     )
 
 
+# Java-regex \s character class (what F.split compiles): ASCII-only, unlike
+# Python's unicode-aware \s — the kernel below must split EXACTLY like the
+# Column expression it replaces.
+_JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+SHINGLE_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("sh", T.ArrayType(T.StringType())),
+        T.StructField("hv", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _shingle_hash_one(t: str | None, n: int) -> tuple[list[str], list[int]]:
+    """Value-exact mirror of ``word_shingles`` + ``shingle_base_hash``:
+
+    * SQL ``trim`` strips only ASCII spaces → ``t.strip(" ")``;
+    * ``F.split(_, r"\\s+")`` is Java regex (ASCII \\s) with limit -1
+      (trailing empties kept) → ``_JAVA_WS_RE.split`` matches both;
+    * n-grams in order, ``array_distinct`` keeps first occurrence →
+      ``dict.fromkeys``; size < n falls back to one whole-text gram
+      (``concat_ws`` of a null array is "" — the None branch mirrors it);
+    * base hash = first 7 md5 hex chars as int (identical in DuckDB).
+    """
+    if t is None:
+        sh = [""]
+    else:
+        words = _JAVA_WS_RE.split(t.strip(" "))
+        if len(words) >= n:
+            sh = list(
+                dict.fromkeys(
+                    " ".join(words[i : i + n])
+                    for i in range(len(words) - n + 1)
+                )
+            )
+        else:
+            sh = [" ".join(words)]
+    hv = [
+        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:7], 16) for g in sh
+    ]
+    return sh, hv
+
+
+def make_shingle_hash_udf(n: int = 3):
+    """Arrow-batched shingle+hash kernel (optimization-guide §4.2): the
+    Column-expression form (``word_shingles``→``shingle_base_hash``) runs
+    through interpreted higher-order functions — measured ~300 core-seconds
+    for ~520k shingles at sf0.1, ~500× slower per core than this plain
+    Python loop. Same values bit-for-bit (differential pytest)."""
+
+    @F.pandas_udf(SHINGLE_HASH_SCHEMA)
+    def udf(text: pd.Series) -> pd.DataFrame:
+        pairs = [_shingle_hash_one(t, n) for t in text]
+        return pd.DataFrame(
+            {"sh": [p[0] for p in pairs], "hv": [p[1] for p in pairs]}
+        )
+
+    return udf
+
+
+def shingle_hash_table(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh, hv) via the Arrow kernel — the shared first stage of every
+    MinHash/Jaccard operator."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        make_shingle_hash_udf(n)(F.col(text_col)).alias("s"),
+    ).select("id", F.col("s.sh").alias("sh"), F.col("s.hv").alias("hv"))
+
+
 def jaccard_counts(a: Column, b: Column) -> tuple[Column, Column]:
     """(|A∩B|, |A∪B|) as integers — compare thresholds by
     cross-multiplication, never float division."""
@@ -82,9 +158,7 @@ def ngram_jaccard_pairs(
     sh = (
         shingles_df
         if shingles_df is not None
-        else df.select(
-            F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
-        )
+        else shingle_hash_table(df, id_col, text_col, n)
     )
     sh = sh.select("id", "sh")  # drop any carried hv column before self-join
     j = (
@@ -174,10 +248,7 @@ def minhash_lsh_candidates(
     sh = (
         shingles_df
         if shingles_df is not None
-        else df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), n).alias("sh"),
-        )
+        else shingle_hash_table(df, id_col, text_col, n)
     )
     hv = (
         F.col("hv")
@@ -229,20 +300,14 @@ def minhash_dedup(
     """LSH candidates → exact-Jaccard verification. Returns confirmed
     near-dup pairs with integer intersect/union counts.
 
-    The shingle array AND its base-hash array are computed ONCE and
-    persisted: without the persist barrier, Catalyst's CollapseProject
-    inlines the split/distinct expression into all 16 permutation mins
-    (16× recompute) and again into the verification join — measured ~10×
-    slower at sf0.1. The md5 digest is likewise persisted (hv), so the 16
-    permutations are pure integer maps over cached arrays."""
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), n).alias("sh"),
-        )
-        .withColumn("hv", shingle_base_hash(F.col("sh")))
-        .persist()
-    )
+    The shingle array AND its base-hash array are computed ONCE — by the
+    Arrow-batched kernel (``make_shingle_hash_udf``; the Column-expression
+    chain ran through interpreted higher-order functions, ~35× the total
+    query time) — and persisted: without the persist barrier the opaque
+    UDF would re-run for the signature pass and again for the
+    verification join. The 16 permutations are pure integer maps over the
+    cached hv arrays."""
+    sh = shingle_hash_table(df, id_col, text_col, n).persist()
     cand = minhash_lsh_candidates(
         df, id_col, text_col, n, num_perm, bands, shingles_df=sh
     )

@@ -137,3 +137,37 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf01):
         for r in similarity.ann_ivf(emb, qs, cents, k=5, nprobe=2).collect()
     }
     assert ivf == ivf2
+
+
+def test_shingle_kernel_matches_column_expression(spark):
+    """r7 optimization: the Arrow shingle+md5 kernel must be value-exact vs
+    the Column-expression form it replaced (word_shingles +
+    shingle_base_hash), including whitespace/null/dedup corner cases —
+    notably unicode whitespace (\\xa0), where Python's \\s and Java's \\s
+    disagree and the kernel must follow Java."""
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "one two"),
+        (4, "\ta\tb c\nd  e\x0b f\r\ng "),
+        (5, "a a a a a a"),
+        (6, "x \xa0 y z w"),
+        (7, "the quick brown fox jumps over the lazy dog"),
+        (8, "trailing tab then\twords here\t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = df.select(
+        F.col("doc_id").alias("id"),
+        dedup.word_shingles(F.col("text"), 3).alias("sh"),
+    ).withColumn("hv", dedup.shingle_base_hash(F.col("sh")))
+    new = dedup.shingle_hash_table(df, "doc_id", "text", 3)
+    j = old.alias("o").join(new.alias("n"), on="id")
+    bad = j.filter(
+        ~(
+            F.col("o.sh").eqNullSafe(F.col("n.sh"))
+            & F.col("o.hv").eqNullSafe(F.col("n.hv"))
+        )
+    ).count()
+    assert bad == 0
+    assert j.count() == len(rows)
