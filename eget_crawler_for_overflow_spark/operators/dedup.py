@@ -448,27 +448,46 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
-    dot = F.aggregate(
+def vec_dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product — the exact summation order every cosine in
+    this package uses (and the DuckDB oracles replay)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
+
+
+def vec_norm(a: Column) -> Column:
+    """sqrt of the left-fold sum of squares — bit-identical to the norm
+    subexpression of ``cosine_sim``, exposed so join pipelines can compute
+    each row's norm ONCE before the join instead of once per candidate
+    pair (r7 optimization; guide §2.3 'shuffle fewer bytes / per-task
+    work': the aggregate runs on the interpreted higher-order-function
+    path, so per-pair recomputation dominated the scoring stage)."""
+    return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return dot / (na * nb)
+
+
+def py_vec_norm(v: list[float]) -> float:
+    """Driver-side ``vec_norm`` for literal vectors (e.g. IVF centroids):
+    the same left-fold double sum + sqrt, so a precomputed literal norm is
+    bit-identical to the expression it replaces."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
 
 def embedding_dup_pairs(
@@ -478,19 +497,32 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # per-row norm computed once in the scan projection (r7), not per
+    # candidate pair in the filter — same left-fold arithmetic, same
+    # (norm_a * norm_b) operand order as cosine_sim
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        vec_norm(F.col(vec_col)).alias("n"),
+    )
     j = (
-        pairs.join(e.withColumnRenamed("v", "v_a"), pairs["id_a"] == e["id"])
+        pairs.join(
+            e.withColumnRenamed("v", "v_a").withColumnRenamed("n", "n_a"),
+            pairs["id_a"] == e["id"],
+        )
         .drop("id")
         .join(
-            e.withColumnRenamed("v", "v_b").withColumnRenamed("id", "id2"),
+            e.withColumnRenamed("v", "v_b")
+            .withColumnRenamed("n", "n_b")
+            .withColumnRenamed("id", "id2"),
             F.col("id_b") == F.col("id2"),
         )
         .drop("id2")
     )
-    return j.select("id_a", "id_b").filter(
-        cosine_sim(F.col("v_a"), F.col("v_b")) >= F.lit(threshold)
-    )
+    return j.filter(
+        vec_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        >= F.lit(threshold)
+    ).select("id_a", "id_b")
 
 
 def embedding_dup_pairs_lsh(
@@ -511,16 +543,23 @@ def embedding_dup_pairs_lsh(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_bits(F.col(vec_col), anchors).alias("bucket"),
+        vec_norm(F.col(vec_col)).alias("n"),  # once per row, not per pair
     )
     left = c.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket"
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("n").alias("n_a"), "bucket",
     )
     right = c.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket"
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("n").alias("n_b"), "bucket",
     )
     return (
         left.join(right, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_sim(F.col("v_a"), F.col("v_b")) >= F.lit(threshold))
+        .filter(
+            vec_dot(F.col("v_a"), F.col("v_b"))
+            / (F.col("n_a") * F.col("n_b"))
+            >= F.lit(threshold)
+        )
         .select("id_a", "id_b")
     )

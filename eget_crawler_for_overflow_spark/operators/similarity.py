@@ -18,7 +18,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine_sim
+from .dedup import cosine_sim, py_vec_norm, vec_dot, vec_norm
+
+def _cos_parts() -> Column:
+    """Per-pair cosine = dot / (qn * cn) with BOTH norms computed once per
+    input row, before the join (r7): cosine_sim's norm subexpressions run
+    on the interpreted higher-order-function path, so evaluating them per
+    candidate pair tripled the scoring stage's work. Same left-fold
+    arithmetic, same operand order (query norm × corpus norm) —
+    bit-identical scores."""
+    return vec_dot(F.col("qv"), F.col("cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
 
 
 def ann_bruteforce(
@@ -31,16 +42,20 @@ def ann_bruteforce(
     """(query_id, neighbor_id, rank) — exact top-k by cosine, self
     excluded, ties broken by neighbor id (deterministic)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        vec_norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        vec_norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cos_parts())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -113,13 +128,26 @@ def kmeans_centroids(
     return cents
 
 
-def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmin over centroids of negative cosine (ties → lowest cell id)."""
+def _nearest_cell(
+    vec: Column, centroids: list[list[float]], norm_col: Column | None = None
+) -> Column:
+    """argmin over centroids of negative cosine (ties → lowest cell id).
+
+    ``norm_col`` (r7): a precomputed ``vec_norm(vec)`` column, so the row's
+    own norm is evaluated once instead of once per centroid; centroid norms
+    are literal constants (``py_vec_norm`` is the same left-fold, so every
+    distance — and therefore every cell assignment — is bit-identical)."""
+    na = vec_norm(vec) if norm_col is None else norm_col
     scored = [
         F.struct(
-            (-cosine_sim(
-                vec,
-                F.array(*[F.lit(float(x)) for x in c]).cast("array<double>"),
+            (-(
+                vec_dot(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in c]).cast(
+                        "array<double>"
+                    ),
+                )
+                / (na * F.lit(py_vec_norm(c)))
             )).alias("d"),
             F.lit(j).alias("cell"),
         )
@@ -149,20 +177,29 @@ def ann_ivf(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _nearest_cell(F.col(vec_col), centroids).alias("cell"),
+        vec_norm(F.col(vec_col)).alias("__cn"),
+    ).withColumn(
+        "cell", _nearest_cell(F.col("cv"), centroids, norm_col=F.col("__cn"))
     )
     probe_cells = [
         F.struct(
-            (-cosine_sim(
-                F.col("qv"),
-                F.array(*[F.lit(float(x)) for x in cent]).cast("array<double>"),
+            (-(
+                vec_dot(
+                    F.col("qv"),
+                    F.array(*[F.lit(float(x)) for x in cent]).cast(
+                        "array<double>"
+                    ),
+                )
+                / (F.col("__qn") * F.lit(py_vec_norm(cent)))
             )).alias("d"),
             F.lit(j).alias("cell"),
         )
         for j, cent in enumerate(centroids)
     ]
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        vec_norm(F.col(vec_col)).alias("__qn"),
     ).withColumn(
         "cell",
         F.explode(
@@ -177,7 +214,7 @@ def ann_ivf(
         F.broadcast(q)
         .join(c, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cos_parts())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -205,17 +242,19 @@ def ann_lsh(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_bits(F.col(vec_col), anchors).alias("bucket"),
+        vec_norm(F.col(vec_col)).alias("__cn"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         lsh_bits(F.col(vec_col), anchors).alias("bucket"),
+        vec_norm(F.col(vec_col)).alias("__qn"),
     )
     scored = (
         F.broadcast(q)
         .join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cos_parts())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
