@@ -196,13 +196,17 @@ def chunk_response_udf(
     min_chunk_size: pd.Series,
     chunk_overlap: pd.Series,
 ) -> pd.DataFrame:
+    rows = [
+        chunk_response(h, ct, mx, mn, ov)
+        for h, ct, mx, mn, ov in zip(
+            html, chunker_type, max_chunk_size, min_chunk_size, chunk_overlap
+        )
+    ]
+    # build columns from the schema (ADVICE r6): pd.DataFrame(rows) on a
+    # ZERO-row batch yields a column-less frame that fails the
+    # struct-schema mapping; this shape matches scrape_envelope_udf
     return pd.DataFrame(
-        [
-            chunk_response(h, ct, mx, mn, ov)
-            for h, ct, mx, mn, ov in zip(
-                html, chunker_type, max_chunk_size, min_chunk_size, chunk_overlap
-            )
-        ]
+        {f.name: [r[f.name] for r in rows] for f in CHUNK_RESPONSE_SCHEMA.fields}
     )
 
 
