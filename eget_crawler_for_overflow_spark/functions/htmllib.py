@@ -123,9 +123,12 @@ class Node:
         self.tag_index = None  # mutation invalidates the parse-time index
 
         def walk(node: "Node") -> None:
-            node.children = [
-                c for c in node.children if c.is_text or c.tag not in names
-            ]
+            # rebuild the child list only when something actually matches
+            # (most nodes have nothing to remove — hot extraction path)
+            if any(c.tag in names for c in node.children if not c.is_text):
+                node.children = [
+                    c for c in node.children if c.is_text or c.tag not in names
+                ]
             for c in node.children:
                 if not c.is_text:
                     walk(c)
@@ -139,6 +142,8 @@ class Node:
         ``code_language`` field consumes it; the reference loses it to
         html2text after cleaning)."""
         for n in self.iter():
+            if not n.attrs:  # most nodes are attribute-less (hot path)
+                continue
             n.attrs = {
                 k: v
                 for k, v in n.attrs.items()
@@ -235,7 +240,7 @@ _RAWTEXT = {"script": "</script", "style": "</style", "textarea": "</textarea"}
 
 
 def _parse_attrs(s: str) -> dict[str, str]:
-    if not s or not s.strip():
+    if not s or s.isspace():  # isspace: no-allocation emptiness probe
         return {}
     attrs: dict[str, str] = {}
     for m in _ATTR_RE.finditer(s):
@@ -261,6 +266,7 @@ def parse_html_fast(html: str) -> Node:
     stack = [root]
     i, n = 0, len(html)
     ordc = 0
+    lo = None  # html.lower(), computed once on first rawtext element
 
     def data(text: str) -> None:
         if text:
@@ -279,8 +285,7 @@ def parse_html_fast(html: str) -> Node:
             end = html.find("-->", lt + 4)
             i = n if end < 0 else end + 3
             continue
-        nxt = html[lt + 1 : lt + 2]
-        if nxt in ("!", "?"):
+        if html.startswith(("!", "?"), lt + 1):
             end = html.find(">", lt)
             i = n if end < 0 else end + 1
             continue
@@ -318,7 +323,8 @@ def parse_html_fast(html: str) -> Node:
             continue
         raw_end = _RAWTEXT.get(name)
         if raw_end is not None:
-            lo = html.lower()
+            if lo is None:
+                lo = html.lower()
             end = lo.find(raw_end, i)
             if end < 0:
                 node.append(Node(None, {"text": html[i:]}))
