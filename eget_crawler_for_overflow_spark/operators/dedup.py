@@ -136,6 +136,42 @@ def shingle_hash_table(
     ).select("id", F.col("s.sh").alias("sh"), F.col("s.hv").alias("hv"))
 
 
+def make_minhash_table_udf(n: int = 3, num_perm: int = 16):
+    """Shingles + the full MinHash signature in ONE Arrow pass: the
+    ``minhash_signature`` Column form is num_perm interpreted
+    transform/array_min evaluations over the hv array (~1.5 s of the sf0.1
+    dedup_minhash query on its own); here the affine maps run as one numpy
+    outer product per row. a_p < 2^21 and h < 2^28, so a_p*h + b_p stays
+    far inside int64 — the % MINHASH_M result is bit-identical to the JVM
+    expression (differential pytest)."""
+    import numpy as np
+
+    a = np.array([minhash_a(p) for p in range(num_perm)], dtype=np.int64)
+    b = np.array([minhash_b(p) for p in range(num_perm)], dtype=np.int64)
+
+    schema = T.StructType(
+        [
+            T.StructField("sh", T.ArrayType(T.StringType())),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def udf(text: pd.Series) -> pd.DataFrame:
+        shs, sigs = [], []
+        for t in text:
+            sh, hv = _shingle_hash_one(t, n)
+            h = np.asarray(hv, dtype=np.int64)
+            sig = ((a[:, None] * h[None, :] + b[:, None]) % MINHASH_M).min(
+                axis=1
+            )
+            shs.append(sh)
+            sigs.append(sig.tolist())
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    return udf
+
+
 def jaccard_counts(a: Column, b: Column) -> tuple[Column, Column]:
     """(|A∩B|, |A∪B|) as integers — compare thresholds by
     cross-multiplication, never float division."""
@@ -250,12 +286,17 @@ def minhash_lsh_candidates(
         if shingles_df is not None
         else shingle_hash_table(df, id_col, text_col, n)
     )
-    hv = (
-        F.col("hv")
-        if "hv" in sh.columns
-        else shingle_base_hash(F.col("sh"))
-    )
-    sig = sh.select("id", minhash_signature(hv, num_perm).alias("sig"))
+    if "sig" in sh.columns:
+        # precomputed by the Arrow kernel (make_minhash_table_udf) — skips
+        # num_perm interpreted transform/array_min passes per row
+        sig = sh.select("id", "sig")
+    else:
+        hv = (
+            F.col("hv")
+            if "hv" in sh.columns
+            else shingle_base_hash(F.col("sh"))
+        )
+        sig = sh.select("id", minhash_signature(hv, num_perm).alias("sig"))
     band_rows = sig.select(
         "id",
         F.explode(
@@ -305,9 +346,16 @@ def minhash_dedup(
     chain ran through interpreted higher-order functions, ~35× the total
     query time) — and persisted: without the persist barrier the opaque
     UDF would re-run for the signature pass and again for the
-    verification join. The 16 permutations are pure integer maps over the
-    cached hv arrays."""
-    sh = shingle_hash_table(df, id_col, text_col, n).persist()
+    verification join. The permutations run as one numpy outer product
+    per row inside the same pass (bit-identical to the JVM affine maps)."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            make_minhash_table_udf(n, num_perm)(F.col(text_col)).alias("s"),
+        )
+        .select("id", F.col("s.sh").alias("sh"), F.col("s.sig").alias("sig"))
+        .persist()
+    )
     cand = minhash_lsh_candidates(
         df, id_col, text_col, n, num_perm, bands, shingles_df=sh
     )

@@ -171,3 +171,27 @@ def test_shingle_kernel_matches_column_expression(spark):
     ).count()
     assert bad == 0
     assert j.count() == len(rows)
+
+
+def test_minhash_sig_kernel_matches_column_expression(spark):
+    """r7: the numpy MinHash signature inside make_minhash_table_udf must
+    equal the minhash_signature Column expression bit-for-bit."""
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "one two"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "a a a a a a"),
+        (5, "x \xa0 y z w lorem ipsum dolor sit amet"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = dedup.shingle_hash_table(df, "doc_id", "text", 3).select(
+        "id", dedup.minhash_signature(F.col("hv"), 16).alias("sig")
+    )
+    new = df.select(
+        F.col("doc_id").alias("id"),
+        dedup.make_minhash_table_udf(3, 16)(F.col("text")).alias("s"),
+    ).select("id", F.col("s.sig").alias("sig"))
+    j = old.alias("o").join(new.alias("n"), on="id")
+    assert j.filter(~F.col("o.sig").eqNullSafe(F.col("n.sig"))).count() == 0
+    assert j.count() == len(rows)
