@@ -845,39 +845,58 @@ def _run_crawl(
 
     # per-generation host/outcome metrics in ONE grouped agg each (the
     # driver sees ≤ generations×statuses scalar rows, never URL rows);
-    # computed post-loop so the generation loop pays no extra jobs
+    # LAZY since r7: the aggs scan every admitted/extracted row, and a
+    # caller that never reads ``metrics`` (the bench's crawl loop, any
+    # pure-crawl invocation) paid ~1.5-2 s per run for rows it discarded.
+    # Content and (generation, name) ordering are identical to the old
+    # eager collect-and-append construction; consumers that do read
+    # metrics pay the same two aggs on first action.
+    metrics_schema = "crawl_id string, generation int, name string, value double"
+    metrics = spark.createDataFrame(
+        sorted(metrics_rows, key=lambda m: (m[1], m[2]))
+        or [(crawl_id, -1, "admitted", 0.0)],
+        metrics_schema,
+    )
     if admitted_gens:
-        for r in (
+        hosts_m = (
             admitted.groupBy("generation")
             .agg(F.countDistinct("host").alias("h"))
-            .collect()
-        ):
-            metrics_rows.append(
-                (crawl_id, r["generation"], "admitted_hosts", float(r["h"]))
+            .select(
+                F.lit(crawl_id).alias("crawl_id"),
+                F.col("generation").cast("int").alias("generation"),
+                F.lit("admitted_hosts").alias("name"),
+                F.col("h").cast("double").alias("value"),
             )
-    if extracted is not None:
-        status_rows = (
-            extracted.groupBy("fetch_generation", "status").count().collect()
         )
-        per_gen_done: dict[int, int] = {}
-        for r in status_rows:
-            metrics_rows.append(
-                (crawl_id, r["fetch_generation"], r["status"], float(r["count"]))
-            )
-            per_gen_done[r["fetch_generation"]] = (
-                per_gen_done.get(r["fetch_generation"], 0) + r["count"]
-            )
+        metrics = metrics.unionByName(hosts_m)
+    if extracted is not None:
+        from pyspark.sql import Window
+
+        status = extracted.groupBy("fetch_generation", "status").count()
+        status_m = status.select(
+            F.lit(crawl_id).alias("crawl_id"),
+            F.col("fetch_generation").cast("int").alias("generation"),
+            F.col("status").alias("name"),
+            F.col("count").cast("double").alias("value"),
+        )
         # A2: cumulative processed pages through each generation (the
-        # reference's completed counter)
-        done = 0
-        for gg in sorted(per_gen_done):
-            done += per_gen_done[gg]
-            metrics_rows.append((crawl_id, gg, "completed", float(done)))
-    metrics_rows.sort(key=lambda m: (m[1], m[2]))
-    metrics = spark.createDataFrame(
-        metrics_rows or [(crawl_id, -1, "admitted", 0.0)],
-        "crawl_id string, generation int, name string, value double",
-    )
+        # reference's completed counter) — a running sum over ≤
+        # max_generations scalar rows (single tiny window partition)
+        completed_m = (
+            status.groupBy("fetch_generation")
+            .agg(F.sum("count").alias("done"))
+            .select(
+                F.lit(crawl_id).alias("crawl_id"),
+                F.col("fetch_generation").cast("int").alias("generation"),
+                F.lit("completed").alias("name"),
+                F.sum("done")
+                .over(Window.orderBy("fetch_generation"))
+                .cast("double")
+                .alias("value"),
+            )
+        )
+        metrics = metrics.unionByName(status_m).unionByName(completed_m)
+    metrics = metrics.orderBy("generation", "name")
     return CrawlResult(
         admitted=admitted,
         extracted=extracted,

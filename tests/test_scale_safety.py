@@ -54,6 +54,10 @@ def test_no_wave_sized_collect(spark, pages, monkeypatch, bloom_storage):
         bloom_storage=bloom_storage,  # files mode: NO bitmap collect at all
     )
     res = run_crawl(spark, pages, seeds, cfg)
+    # r7: metrics aggregation is lazy — in files mode the loop itself now
+    # runs ZERO driver collects. Materialize the metrics surface inside
+    # the spy window so the bounded-collect contract still covers it.
+    res.metrics.collect()
     monkeypatch.undo()
 
     n_admitted = res.admitted.count()
