@@ -61,12 +61,7 @@ def assign_seq_counted(
     generation."""
     spark = df.sparkSession
     if single_partition:
-        one = (
-            df.repartition(1)
-            .sortWithinPartitions(*order_cols)
-            .localCheckpoint(eager=True)  # pin: consumers re-run cheap pass
-        )
-        n = one.count()  # O(ms): a count over one pinned partition
+        one = df.repartition(1).sortWithinPartitions(*order_cols)
         out_schema = T.StructType(
             list(one.schema.fields) + [T.StructField(seq_col, T.LongType())]
         )
@@ -80,7 +75,19 @@ def assign_seq_counted(
                 pos += len(pdf)
                 yield pdf
 
-        return one.mapInPandas(add_seq_single, out_schema), n
+        # pin AFTER the seq pass (r7): the fast path needs no count before
+        # assigning (seq = start + position), so pinning the OUTPUT costs
+        # the same one materialization job but saves every downstream
+        # consumer (seen add, host-counts bump, fetch broadcast, final
+        # union) an Arrow round-trip re-run of the Python pass per action.
+        # Determinism is unchanged: order_cols are a unique key, so the
+        # single-partition sort is a deterministic total order regardless
+        # of shuffle arrival order.
+        out = one.mapInPandas(add_seq_single, out_schema).localCheckpoint(
+            eager=True
+        )
+        n = out.count()  # O(ms): a count over one pinned partition
+        return out, n
     if num_partitions is None:
         num_partitions = max(2, spark.sparkContext.defaultParallelism)
     # Pin the input BEFORE range partitioning: repartitionByRange runs a
