@@ -957,7 +957,13 @@ def q_extract_cache(spark, sf_dir):
     anti-joins against the still-valid entries (run_id ≥ 1) so it extracts
     exactly the never-cached (i%3==2) and the TTL-expired (i%3==0) pages.
     Output is the full append-only snapshot state; the oracle predicts it
-    in closed form from the page index."""
+    in closed form from the page index.
+
+    NOTE (ADVICE r6): the snapshot lives in a driver-local tempdir, which
+    works only in local mode (driver and executors share a filesystem).
+    On a real cluster the snapshot dir must be a shared path (DFS /
+    object store) — the operator itself (`operators/cache.py`) takes any
+    ``snapshot_dir``; only this driver-tier query hardcodes a tempdir."""
     import shutil
     import tempfile
 
